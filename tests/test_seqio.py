@@ -1,0 +1,94 @@
+import gzip
+import io
+
+import pytest
+
+from tsta_tpu.io import (SeqRecord, read_fasta, read_fastq, read_records,
+                         write_fasta, write_fastq)
+
+
+def test_read_fasta_basic(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">one a comment\nACGT\nACGT\n>two\nGGGG\n")
+    recs = list(read_fasta(p))
+    assert [r.name for r in recs] == ["one", "two"]
+    assert recs[0].comment == "a comment"
+    assert recs[0].sequence == b"ACGTACGT"
+    assert recs[1].sequence == b"GGGG"
+    assert not recs[0].is_fastq
+
+
+def test_read_fasta_crlf_and_blank_lines(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b"\n>one\r\nAC\r\nGT\r\n\r\n>two\r\nTT\r\n")
+    recs = list(read_fasta(p))
+    assert recs[0].sequence == b"ACGT"
+    assert recs[1].sequence == b"TT"
+
+
+def test_read_gzip_by_magic_not_extension(tmp_path):
+    p = tmp_path / "x.notgz"  # deliberately wrong extension
+    p.write_bytes(gzip.compress(b">z\nACGTT\n"))
+    recs = list(read_fasta(p))
+    assert recs[0].sequence == b"ACGTT"
+
+
+def test_read_fastq(tmp_path):
+    p = tmp_path / "x.fq"
+    p.write_bytes(b"@r1 c\nACGT\n+\nIIII\n@r2\nGG\nTT\n+anything\nIII\nI\n")
+    recs = list(read_fastq(p))
+    assert recs[0].quality == b"IIII"
+    assert recs[1].sequence == b"GGTT"
+    assert recs[1].quality == b"IIII"
+
+
+def test_fastq_quality_length_mismatch(tmp_path):
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nIII\n")
+    with pytest.raises(ValueError):
+        list(read_fastq(p))
+
+
+def test_type_detection_and_mismatch(tmp_path):
+    p = tmp_path / "x.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nIIII\n")
+    assert next(iter(read_records(p))).is_fastq
+    with pytest.raises(ValueError):
+        list(read_fasta(p))
+
+
+def test_write_fasta_roundtrip_wraps(tmp_path):
+    rec = SeqRecord("n", b"A" * 205, "com")
+    p = tmp_path / "o.fa"
+    write_fasta(p, [rec])
+    data = p.read_bytes()
+    lines = data.split(b"\n")
+    assert lines[0] == b">n"
+    assert len(lines[1]) == 80  # default wrap width (seqio.h:19)
+    back = list(read_fasta(p))
+    assert back[0].sequence == rec.sequence
+
+
+def test_write_fastq_roundtrip(tmp_path):
+    rec = SeqRecord("q", b"ACGT", quality=b"!!!!")
+    p = tmp_path / "o.fq"
+    write_fastq(p, [rec])
+    back = list(read_fastq(p))
+    assert back[0].sequence == b"ACGT" and back[0].quality == b"!!!!"
+
+
+def test_write_gz(tmp_path):
+    p = tmp_path / "o.fa.gz"
+    write_fasta(p, [SeqRecord("n", b"ACGT")])
+    assert list(read_fasta(p))[0].sequence == b"ACGT"
+
+
+def test_read_reference_example():
+    recs = list(read_fasta("/root/reference/example/msa/seq/seq1.fa"))
+    assert len(recs) == 5
+    assert all(len(r.sequence) > 4000 for r in recs)
+
+
+def test_file_object_input():
+    recs = list(read_records(io.BufferedReader(io.BytesIO(b">a\nAC\n"))))
+    assert recs[0].sequence == b"AC"

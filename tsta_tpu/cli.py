@@ -1,0 +1,174 @@
+"""Command-line interface.
+
+One binary with subcommands replaces the reference's three
+(``TSTA_psa`` / ``TSTA_psa_notrace`` / ``TSTA_msa``)::
+
+    tsta psa  -1 a.fa -2 b.fa [-o out.txt] [--notrace] [flags]
+    tsta msa  -i seqs.fa [-o out.txt] [flags]
+    tsta batch --pairs manifest.tsv [flags]     # batched PSA over many pairs
+
+Scoring flags mirror the reference exactly: ``-M -X -E -O`` (psa/psa.c:546,
+msa/msa.c:81).  ``-T`` (threads) and ``-W`` (block width) are accepted for
+drop-in compatibility but ignored: scheduling is XLA's job and tile sizes
+are chosen per backend.  stdout of ``tsta psa`` matches the reference
+(``maxsorce=%d`` with the reference's -100 init floor, psa/psa.c:110,666).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_scoring_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-M", type=int, default=2, help="match score [2]")
+    p.add_argument("-X", type=int, default=-5, help="mismatch score [-5]")
+    p.add_argument("-E", type=int, default=-2, help="gap-extend score [-2]")
+    p.add_argument("-O", type=int, default=-4, help="gap-open score [-4]")
+    p.add_argument("-T", type=int, default=0,
+                   help="threads (ignored; kept for reference compatibility)")
+    p.add_argument("-W", type=int, default=0,
+                   help="block width (ignored; kept for compatibility)")
+    p.add_argument("--json", action="store_true",
+                   help="emit a JSON result line instead of reference stdout")
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="PSA kernel selection")
+
+
+def _params(args):
+    from tsta_tpu.config import AlignParams
+    return AlignParams(match=args.M, mismatch=args.X, gap_extend=args.E,
+                       gap_open=args.O)
+
+
+def cmd_psa(args) -> int:
+    from tsta_tpu.models import psa
+    t0 = time.time()
+    out = psa.align_files(args.seq1, args.seq2, _params(args),
+                          traced=not args.notrace, kernel=args.kernel)
+    wall = time.time() - t0
+    if not args.notrace:
+        psa.write_alignment(out, args.output)
+    if args.json:
+        print(json.dumps({"score": out.score, "corner": out.corner,
+                          "wall_s": round(wall, 4),
+                          "output": None if args.notrace else args.output}))
+    else:
+        print("maxsorce=%d" % max(out.score, psa.REFERENCE_SCORE_FLOOR))
+    return 0
+
+
+def cmd_msa(args) -> int:
+    from tsta_tpu.models import msa
+    t0 = time.time()
+    result = msa.align_file(args.input, _params(args), engine=args.engine)
+    wall = time.time() - t0
+    msa.write_result(result, args.output)
+    if args.json:
+        print(json.dumps({"rounds": result.round_scores,
+                          "graph_len": result.graph_len,
+                          "consensus_len": len(result.consensus),
+                          "wall_s": round(wall, 4), "output": args.output}))
+    return 0
+
+
+def cmd_batch(args) -> int:
+    from tsta_tpu.parallel import batch as pbatch
+    t0 = time.time()
+    results = pbatch.align_manifest(args.pairs, _params(args),
+                                    traced=args.traced,
+                                    out_dir=args.out_dir)
+    wall = time.time() - t0
+    cells = sum(r["cells"] for r in results)
+    print(json.dumps({"pairs": len(results), "wall_s": round(wall, 4),
+                      "gcups": round(cells / wall / 1e9, 3)}))
+    if args.scores:
+        with open(args.scores, "w") as f:
+            for r in results:
+                f.write("%s\t%d\n" % (r["name"], r["score"]))
+    return 0
+
+
+_INT_FLAGS = {"-M", "-X", "-E", "-O", "-T", "-W"}
+
+
+def _merge_negative_values(argv):
+    """Rewrite ['-X', '-3'] to ['-X=-3'].
+
+    argparse disables negative-number value detection when the parser has
+    digit-named flags (our reference-compatible ``-1``/``-2``), so scoring
+    flags with negative values would otherwise be rejected.
+    """
+    out = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if (tok in _INT_FLAGS and i + 1 < len(argv)
+                and _is_int(argv[i + 1])):
+            out.append(tok + "=" + argv[i + 1])
+            i += 2
+        else:
+            out.append(tok)
+            i += 1
+    return out
+
+
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tsta", description="TPU-native sequence alignment (TSTA-TPU)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("psa", help="pairwise global alignment")
+    _add_scoring_flags(p)
+    p.add_argument("-1", dest="seq1", required=True, help="input FASTA 1")
+    p.add_argument("-2", dest="seq2", required=True, help="input FASTA 2")
+    p.add_argument("-o", dest="output", default="output.txt",
+                   help="alignment output file [output.txt]")
+    p.add_argument("--notrace", action="store_true",
+                   help="score only (TSTA_psa_notrace equivalent)")
+    p.set_defaults(fn=cmd_psa)
+
+    p = sub.add_parser("msa", help="partial-order multiple sequence alignment")
+    _add_scoring_flags(p)
+    p.add_argument("-i", dest="input", required=True, help="input FASTA")
+    p.add_argument("-o", dest="output", default="output.txt",
+                   help="MSA output file [output.txt]")
+    p.add_argument("--engine", default="compat",
+                   choices=["compat", "native"],
+                   help="compat = bit-exact vs reference; native = exact "
+                        "int32 DP on TPU")
+    p.set_defaults(fn=cmd_msa)
+
+    p = sub.add_parser("batch", help="batched PSA over many pairs")
+    _add_scoring_flags(p)
+    p.add_argument("--pairs", required=True,
+                   help="TSV manifest: name<TAB>fasta1<TAB>fasta2")
+    p.add_argument("--traced", action="store_true")
+    p.add_argument("--out-dir", default=None,
+                   help="directory for per-pair alignment outputs")
+    p.add_argument("--scores", default=None, help="write scores TSV here")
+    p.set_defaults(fn=cmd_batch)
+
+    if argv is None:
+        argv = sys.argv[1:]
+    args = ap.parse_args(_merge_negative_values(list(argv)))
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        print("tsta: error: %s" % e, file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Runtime configuration objects.
+
+The reference has no config system beyond per-binary ``getopt`` flags
+(psa/psa.c:546-581, msa/msa.c:81-113) and compile-time SIMD width macros.
+Here all knobs live in dataclasses; scoring parameters are runtime values
+(arrays fed to jitted kernels), block sizes are static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignParams:
+    """Affine-gap scoring parameters.
+
+    Matches the reference defaults (psa/psa.c:114-117, msa/msa.c:21-24).
+    A gap of length k costs ``O + k * E`` (open+extend charged together --
+    ``ogap = O + E`` per reference psa/psa.c:241).
+    """
+
+    match: int = 2       # -M
+    mismatch: int = -5   # -X
+    gap_extend: int = -2  # -E
+    gap_open: int = -4   # -O
+
+    def __post_init__(self) -> None:
+        if self.gap_extend > 0 or self.gap_open > 0:
+            raise ValueError("gap penalties must be <= 0 (got E=%d O=%d)"
+                             % (self.gap_extend, self.gap_open))
+
+    @property
+    def ogap(self) -> int:
+        """Cost of the first gap column (open + extend)."""
+        return self.gap_open + self.gap_extend
+
+    @classmethod
+    def linear(cls, match: int = 2, mismatch: int = -5,
+               gap: int = -2) -> "AlignParams":
+        """Linear gap model: gap of length k costs ``k * gap`` (O == 0)."""
+        return cls(match=match, mismatch=mismatch, gap_extend=gap, gap_open=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Execution configuration shared by PSA/MSA pipelines."""
+
+    # Tile edge for the Pallas wavefront kernel (columns per block). The
+    # reference's analogue is L = bS * simd_width (psa/psa.c:118,588).
+    tile: int = 512
+    # Which MSA engine: "compat" = bit-exact C engine reproducing the
+    # reference's int8 clamp semantics; "native" = exact int32 JAX engine.
+    msa_engine: str = "compat"
+    # Compat-engine striping geometry (must match the build of the reference
+    # that produced golden outputs; results verified lane-width independent).
+    compat_lanes: int = 16   # B: int8 lanes per SIMD vector (SSE4.2 build)
+    compat_width: int = 10   # bS: stripe multiplier; L = lanes * width
+    # Emit per-phase timing.
+    profile: bool = False

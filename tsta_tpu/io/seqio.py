@@ -1,0 +1,240 @@
+"""FASTA/FASTQ reading and writing.
+
+Host-side equivalent of the reference's C ``seqio`` layer (seqio.c, 759 LoC;
+public API seqio.h:106-118).  Capabilities carried over:
+
+* gzip auto-detection by magic bytes (seqio.c:203-211);
+* format guess by first record character '>' vs '@' (seqio.c:275-309);
+* incremental state-machine parsing of FASTA and FASTQ (seqio.c:463-641),
+  tolerant of CRLF line endings (seqio.c:454-456) and multi-line sequences;
+* line-wrapped writers with configurable width / case (seqio.c:677-759;
+  default width 80, seqio.h:19).
+
+Unlike the reference there is no record-reuse API -- readers are generators
+yielding immutable records -- and parse errors raise instead of ``exit(1)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import os
+from typing import IO, Iterator, Optional, Union
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+PathOrFile = Union[str, os.PathLike, IO[bytes]]
+
+
+@dataclasses.dataclass
+class SeqRecord:
+    """One sequence record. ``quality`` is None for FASTA records."""
+
+    name: str
+    sequence: bytes
+    comment: str = ""
+    quality: Optional[bytes] = None
+
+    @property
+    def is_fastq(self) -> bool:
+        return self.quality is not None
+
+    def __len__(self) -> int:
+        return len(self.sequence)
+
+
+def open_seq(path: PathOrFile, mode: str = "rb") -> IO[bytes]:
+    """Open a (possibly gzipped) sequence file for binary reading/writing.
+
+    For reads, gzip is detected by the two magic bytes rather than the file
+    extension, mirroring seqio.c:203-211.  For writes, a ``.gz`` suffix
+    selects gzip output.
+    """
+    if hasattr(path, "read") or hasattr(path, "write"):
+        return path  # already a file object
+    path = os.fspath(path)
+    if "r" in mode:
+        f = open(path, "rb")
+        magic = f.read(2)
+        f.seek(0)
+        if magic == GZIP_MAGIC:
+            return gzip.open(f, "rb")
+        return f
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _guess_type(first: bytes) -> str:
+    """'fasta' for '>', 'fastq' for '@' (seqio.c:275-309)."""
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError("unrecognised sequence format (first byte %r)" % first)
+
+
+def _split_header(line: bytes) -> tuple[str, str]:
+    """Split '>name comment' into (name, comment)."""
+    parts = line.split(None, 1)
+    name = parts[0].decode() if parts else ""
+    comment = parts[1].decode() if len(parts) > 1 else ""
+    return name, comment
+
+
+def read_records(path: PathOrFile) -> Iterator[SeqRecord]:
+    """Yield records from a FASTA or FASTQ file (type auto-detected)."""
+    f = open_seq(path)
+    close = not (hasattr(path, "read"))
+    try:
+        # peek at first non-whitespace byte
+        buffered = io.BufferedReader(f) if not isinstance(
+            f, io.BufferedReader) else f
+        while True:
+            head = buffered.peek(1)[:1]
+            if head == b"":
+                return
+            if head in b" \t\r\n":
+                buffered.read(1)
+                continue
+            break
+        kind = _guess_type(head)
+        if kind == "fasta":
+            yield from _iter_fasta(buffered)
+        else:
+            yield from _iter_fastq(buffered)
+    finally:
+        if close:
+            f.close()
+
+
+def read_fasta(path: PathOrFile) -> Iterator[SeqRecord]:
+    """Yield FASTA records; raises if the file is FASTQ."""
+    for rec in read_records(path):
+        if rec.is_fastq:
+            raise ValueError("expected FASTA, found FASTQ record %r" % rec.name)
+        yield rec
+
+
+def read_fastq(path: PathOrFile) -> Iterator[SeqRecord]:
+    """Yield FASTQ records; raises if the file is FASTA."""
+    for rec in read_records(path):
+        if not rec.is_fastq:
+            raise ValueError("expected FASTQ, found FASTA record %r" % rec.name)
+        yield rec
+
+
+def _strip_eol(line: bytes) -> bytes:
+    return line.rstrip(b"\r\n")
+
+
+def _iter_fasta(f: IO[bytes]) -> Iterator[SeqRecord]:
+    name = comment = None
+    chunks: list[bytes] = []
+    for raw in f:
+        line = _strip_eol(raw)
+        if line.startswith(b">"):
+            if name is not None:
+                yield SeqRecord(name, b"".join(chunks), comment)
+            name, comment = _split_header(line[1:])
+            chunks = []
+        elif line:
+            if name is None:
+                raise ValueError("sequence data before first FASTA header")
+            chunks.append(line)
+    if name is not None:
+        yield SeqRecord(name, b"".join(chunks), comment)
+
+
+def _iter_fastq(f: IO[bytes]) -> Iterator[SeqRecord]:
+    it = iter(f)
+    for raw in it:
+        line = _strip_eol(raw)
+        if not line:
+            continue
+        if not line.startswith(b"@"):
+            raise ValueError("malformed FASTQ: expected '@', got %r" % line[:1])
+        name, comment = _split_header(line[1:])
+        seq_chunks: list[bytes] = []
+        plus_seen = False
+        qual_chunks: list[bytes] = []
+        qual_len = 0
+        for raw2 in it:
+            line2 = _strip_eol(raw2)
+            if not plus_seen:
+                if line2.startswith(b"+"):
+                    plus_seen = True
+                else:
+                    seq_chunks.append(line2)
+            else:
+                qual_chunks.append(line2)
+                qual_len += len(line2)
+                if qual_len >= sum(map(len, seq_chunks)):
+                    break
+        seq = b"".join(seq_chunks)
+        qual = b"".join(qual_chunks)
+        if len(qual) != len(seq):
+            raise ValueError(
+                "FASTQ record %r: quality length %d != sequence length %d"
+                % (name, len(qual), len(seq)))
+        yield SeqRecord(name, seq, comment, qual)
+
+
+DEFAULT_LINE_WIDTH = 80  # seqio.h:19
+
+
+def _apply_case(seq: bytes, case: str) -> bytes:
+    if case == "upper":
+        return seq.upper()
+    if case == "lower":
+        return seq.lower()
+    return seq
+
+
+def _wrap(out: IO[bytes], seq: bytes, width: int) -> None:
+    if width <= 0:
+        out.write(seq)
+        out.write(b"\n")
+        return
+    for i in range(0, len(seq), width):
+        out.write(seq[i:i + width])
+        out.write(b"\n")
+
+
+def write_fasta(path: PathOrFile, records, line_width: int = DEFAULT_LINE_WIDTH,
+                include_comment: bool = False, case: str = "original") -> None:
+    """Write records as FASTA (line-wrapped; seqio.c:677-716 equivalent)."""
+    out = open_seq(path, "wb")
+    close = not hasattr(path, "write")
+    try:
+        for rec in records:
+            header = ">" + rec.name
+            if include_comment and rec.comment:
+                header += " " + rec.comment
+            out.write(header.encode() + b"\n")
+            _wrap(out, _apply_case(rec.sequence, case), line_width)
+    finally:
+        if close:
+            out.close()
+
+
+def write_fastq(path: PathOrFile, records,
+                include_comment: bool = False, case: str = "original") -> None:
+    """Write records as FASTQ (seqio.c:718-759 equivalent)."""
+    out = open_seq(path, "wb")
+    close = not hasattr(path, "write")
+    try:
+        for rec in records:
+            if rec.quality is None:
+                raise ValueError("record %r has no quality; cannot write FASTQ"
+                                 % rec.name)
+            header = "@" + rec.name
+            if include_comment and rec.comment:
+                header += " " + rec.comment
+            out.write(header.encode() + b"\n")
+            out.write(_apply_case(rec.sequence, case) + b"\n+\n")
+            out.write(rec.quality + b"\n")
+    finally:
+        if close:
+            out.close()

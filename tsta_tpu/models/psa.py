@@ -1,0 +1,95 @@
+"""Pairwise sequence alignment pipeline.
+
+Equivalent of the reference's ``TSTA_psa`` / ``TSTA_psa_notrace`` drivers
+(psa/psa.c:539-668): load two FASTA sequences, orient the longer one
+horizontally (psa/psa.c:194-199), run the DP, report the matrix-max score
+and (traced mode) the aligned pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.io import encode_dna, read_fasta
+from tsta_tpu.ops import psa_scan, traceback
+
+# The reference initialises its global running max to MIN = -100
+# (psa/psa.c:110,590) and only ever raises it, so the printed `maxsorce`
+# is floored at -100.  The library reports the true matrix max; the CLI
+# applies this floor for stdout parity.
+REFERENCE_SCORE_FLOOR = -100
+
+
+@dataclasses.dataclass
+class PsaOutput:
+    score: int                      # max over all H cells (reference semantics)
+    corner: int                     # H(m-1, n-1): the global alignment score
+    swapped: bool                   # True if input order was swapped
+    a_row: Optional[bytes] = None   # aligned horizontal sequence ('>1')
+    b_row: Optional[bytes] = None   # aligned vertical sequence ('>2')
+
+
+def align_pair(seq1: bytes, seq2: bytes, params: AlignParams = AlignParams(),
+               traced: bool = False, swap: bool = True,
+               kernel: str = "auto") -> PsaOutput:
+    """Align two byte sequences.
+
+    ``swap`` mirrors the reference: the longer sequence becomes the
+    horizontal axis (columns).  ``kernel`` selects 'scan' (pure JAX oracle),
+    'pallas' (tiled TPU kernel), or 'auto'.
+    """
+    swapped = False
+    if swap and len(seq2) > len(seq1):
+        seq1, seq2 = seq2, seq1
+        swapped = True
+    a = encode_dna(seq1)
+    b = encode_dna(seq2)
+    if kernel == "pallas" or (kernel == "auto" and _use_pallas(a, b, traced)):
+        from tsta_tpu.ops import psa_pallas
+        res = psa_pallas.psa_align(a, b, params, traced=traced)
+    else:
+        res = psa_scan.psa_align(a, b, params, traced=traced)
+    out = PsaOutput(score=int(res.score), corner=int(res.last),
+                    swapped=swapped)
+    if traced:
+        aln = traceback.decode_pair(np.asarray(res.back),
+                                    np.asarray(res.fback),
+                                    np.asarray(res.eback), a, b)
+        out.a_row, out.b_row = aln.a_row, aln.b_row
+    return out
+
+
+def _use_pallas(a, b, traced) -> bool:
+    """Heuristic: the Pallas kernel pays off on TPU for larger problems."""
+    try:
+        import jax
+        if jax.default_backend() not in ("tpu",):
+            return False
+    except Exception:
+        return False
+    return min(a.shape[0], b.shape[0]) >= 1024
+
+
+def align_files(path1: str, path2: str, params: AlignParams = AlignParams(),
+                traced: bool = False, kernel: str = "auto") -> PsaOutput:
+    """Reference-compatible entry: first record of each FASTA file."""
+    rec1 = next(iter(read_fasta(path1)), None)
+    rec2 = next(iter(read_fasta(path2)), None)
+    if rec1 is None or rec2 is None:
+        raise ValueError("empty FASTA input")
+    return align_pair(rec1.sequence, rec2.sequence, params, traced=traced,
+                      kernel=kernel)
+
+
+def write_alignment(out: PsaOutput, path: str) -> None:
+    """Write the aligned pair in the reference's output format.
+
+    The reference writes '>1\\n<a>\\n>2\\n<b>' with no trailing newline
+    (psa/psa.c:512-515).
+    """
+    with open(path, "wb") as f:
+        f.write(b">1\n" + out.a_row + b"\n>2\n" + out.b_row)
