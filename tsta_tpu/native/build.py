@@ -1,0 +1,69 @@
+"""Build and load the native compat engine.
+
+The C sources are compiled on first use into a shared library cached next
+to the sources (keyed by a content hash), then loaded with ctypes.  No
+pybind11 dependency; the ABI is plain C.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+
+CFLAGS = ["-O3", "-march=native", "-g", "-fPIC", "-shared", "-Wall"]
+
+
+class MsaResultStruct(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int),
+        ("cols", ctypes.c_int),
+        ("msa", ctypes.POINTER(ctypes.c_char_p)),
+        ("consensus", ctypes.c_char_p),
+        ("rounds", ctypes.c_int),
+        ("last_scores", ctypes.POINTER(ctypes.c_int)),
+        ("graph_len", ctypes.POINTER(ctypes.c_int)),
+        ("add_len", ctypes.POINTER(ctypes.c_int)),
+    ]
+
+
+def _compile(src: str, out: str) -> None:
+    cc = os.environ.get("CC", "gcc")
+    cmd = [cc] + CFLAGS + ["-o", out, src]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError("native build failed:\n%s" % proc.stderr)
+
+
+def load() -> ctypes.CDLL:
+    """Compile (if needed) and load the compat engine library."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        src = os.path.join(_DIR, "compat_msa.c")
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache_dir = os.environ.get(
+            "TSTA_NATIVE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "tsta_native"))
+        os.makedirs(cache_dir, exist_ok=True)
+        out = os.path.join(cache_dir, "libtsta_compat_%s.so" % digest)
+        if not os.path.exists(out):
+            _compile(src, out)
+        lib = ctypes.CDLL(out)
+        lib.tsta_msa_run.restype = ctypes.c_int
+        lib.tsta_msa_run.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(MsaResultStruct),
+        ]
+        lib.tsta_msa_free.argtypes = [ctypes.POINTER(MsaResultStruct)]
+        _LIB = lib
+        return lib
