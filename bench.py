@@ -1,0 +1,132 @@
+"""TSTA-TPU benchmark: prints one JSON line for the driver.
+
+Primary metric: PSA score-only GCUPS (billions of DP cells/second) on the
+reference's bundled 10k x 10k example pair, single chip, Pallas kernel.
+Baseline (BASELINE.md): the reference TSTA_psa_notrace at 1.25 GCUPS
+(AVX512, 1 thread, same machine class).  Extras in "detail":
+batched-pair throughput, traced-kernel device throughput, MSA compat
+engine wall, and exact-match checks against golden outputs.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/tsta_jax_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np  # noqa: E402
+
+BASELINE_GCUPS = 1.25  # TSTA_psa_notrace, AVX512, 1 thread (BASELINE.md)
+
+EX = "/root/reference/example"
+
+
+def time_best(fn, warmup=1, iters=3):
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.io import read_fasta
+    from tsta_tpu.models import msa as msa_model
+    from tsta_tpu.ops import psa_pallas, psa_scan
+
+    detail = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0])}
+    params = AlignParams()
+    p = (2, -5, -2, -4)
+
+    a = np.frombuffer(
+        next(iter(read_fasta(EX + "/psa/seq/seqa1.fa"))).sequence, np.uint8)
+    b = np.frombuffer(
+        next(iter(read_fasta(EX + "/psa/seq/seqb1.fa"))).sequence, np.uint8)
+    cells = len(a) * len(b)
+
+    # --- primary: single-pair score-only Pallas kernel ----------------
+    res = psa_pallas.psa_align(a, b, p, traced=False)
+    detail["psa_score"] = int(res.score)
+    detail["psa_score_exact"] = int(res.score) == -5
+
+    def run_notrace():
+        r = psa_pallas.psa_align(a, b, p, traced=False)
+        jax.block_until_ready(r.score)
+
+    dt = time_best(run_notrace)
+    gcups = cells / dt / 1e9
+    detail["psa_notrace_gcups"] = round(gcups, 3)
+
+    # --- traced kernel, device-side throughput ------------------------
+    try:
+        n_pad = (len(a) + 127) // 128 * 128
+        m_pad = (len(b) + psa_pallas.T_R - 1) // psa_pallas.T_R \
+            * psa_pallas.T_R
+        a_p = np.zeros(n_pad, np.uint8)
+        a_p[:len(a)] = a
+        b_p = np.ones(m_pad, np.uint8)
+        b_p[:len(b)] = b
+        a2d = np.ascontiguousarray(
+            a_p.astype(np.int32).reshape(-1, 128))
+        bcol = b_p.astype(np.int32).reshape(-1, 1)
+        import jax.numpy as jnp
+        a2d, bcol = jnp.asarray(a2d), jnp.asarray(bcol)
+
+        def run_traced():
+            out = psa_pallas._psa_pallas(a2d, bcol, n_pad, m_pad, len(b),
+                                         len(a), p, True)
+            jax.block_until_ready(out)
+
+        dt_tr = time_best(run_traced, warmup=1, iters=2)
+        detail["psa_traced_gcups_device"] = round(cells / dt_tr / 1e9, 3)
+    except Exception as e:  # keep the bench alive
+        detail["psa_traced_error"] = str(e)[:200]
+
+    # --- batched throughput (scan kernel, vmap) -----------------------
+    try:
+        from tsta_tpu.parallel import batch as pbatch
+        rng = np.random.default_rng(0)
+        nb, ln = 32, 2048
+        pairs = [(rng.integers(65, 69, ln).astype(np.uint8),
+                  rng.integers(65, 69, ln).astype(np.uint8))
+                 for _ in range(nb)]
+
+        def run_batch():
+            pbatch.align_batch(pairs, params)
+
+        dt_b = time_best(run_batch, warmup=1, iters=2)
+        detail["psa_batch_gcups"] = round(nb * ln * ln / dt_b / 1e9, 3)
+    except Exception as e:
+        detail["psa_batch_error"] = str(e)[:200]
+
+    # --- MSA compat engine (bit-exact CPU path) -----------------------
+    try:
+        t0 = time.perf_counter()
+        out = msa_model.align_file(EX + "/msa/seq/seq1.fa", params)
+        dt_m = time.perf_counter() - t0
+        detail["msa_wall_s"] = round(dt_m, 3)
+        detail["msa_rounds_exact"] = (
+            out.round_scores == [-5451, -3101, -1776, -870])
+    except Exception as e:
+        detail["msa_error"] = str(e)[:200]
+
+    print(json.dumps({
+        "metric": "psa_notrace_gcups_1chip",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Tests for the TPU-native (exact int32) MSA engine."""
+
+import numpy as np
+import pytest
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.models import msa
+from tsta_tpu.ops import msa_native, psa_scan
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mutate(rng, s, rate=0.1):
+    s = np.frombuffer(s, np.uint8).copy()
+    mask = rng.random(len(s)) < rate
+    s[mask] = BASES[rng.integers(0, 4, mask.sum())]
+    return s.tobytes()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_two_seq_round_equals_pairwise_corner(seed):
+    """For 2 sequences, POA round 1 == global pairwise alignment."""
+    rng = np.random.default_rng(seed)
+    s1 = BASES[rng.integers(0, 4, 120)].tobytes()
+    s2 = _mutate(rng, s1)
+    p = AlignParams() if seed % 2 == 0 else AlignParams(3, -2, -1, -6)
+    out = msa_native.align_seqs([s1, s2], p)
+    ref = psa_scan.psa_align(np.frombuffer(s2, np.uint8),
+                             np.frombuffer(s1, np.uint8), p)
+    assert out.round_scores[0] == int(ref.last)
+    for row, s in zip(out.rows, [s1, s2]):
+        assert row.replace(b"-", b"") == s
+
+
+def test_multiseq_rows_reconstruct():
+    rng = np.random.default_rng(7)
+    seqs = [BASES[rng.integers(0, 4, 150)].tobytes()]
+    for _ in range(4):
+        seqs.append(_mutate(rng, seqs[0], 0.08))
+    out = msa_native.align_seqs(seqs)
+    assert len(out.rows) == 5
+    for row, s in zip(out.rows, seqs):
+        assert row.replace(b"-", b"") == s
+    assert len({len(r) for r in out.rows}) == 1
+    assert len(out.consensus) > 0
+
+
+def test_native_matches_compat_on_fixtures(golden_dir):
+    """Without clamp activity the exact engine reproduces compat scores."""
+    from tsta_tpu.io import read_fasta
+    import os
+    seqs = [r.sequence for r in
+            read_fasta(os.path.join(golden_dir, "msa_small1/seqs.fa"))]
+    c = msa.align_seqs(seqs, AlignParams(), engine="compat")
+    n = msa.align_seqs(seqs, AlignParams(), engine="native")
+    assert n.round_scores == c.round_scores
+
+
+def test_engine_dispatch():
+    with pytest.raises(ValueError):
+        msa.align_seqs([b"ACGT"], engine="bogus")

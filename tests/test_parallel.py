@@ -1,0 +1,79 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8; SURVEY.md section 4 plan item d)."""
+
+import numpy as np
+import pytest
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.ops import psa_scan
+from tsta_tpu.parallel import batch, longseq
+from tsta_tpu.parallel import mesh as meshlib
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return meshlib.make_mesh(data=2, seq=4)
+
+
+@pytest.fixture(scope="module")
+def mesh81():
+    return meshlib.make_mesh(data=8, seq=1)
+
+
+def test_mesh_shapes(mesh24):
+    assert mesh24.shape == {"data": 2, "seq": 4}
+
+
+def test_batch_sharded_matches_oracle(mesh81):
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(11):  # deliberately not a multiple of 8
+        n, m = int(rng.integers(20, 300)), int(rng.integers(20, 300))
+        pairs.append((rng.integers(65, 69, n).astype(np.uint8),
+                      rng.integers(65, 69, m).astype(np.uint8)))
+    res = batch.align_batch(pairs, AlignParams(), mesh=mesh81)
+    for (a, b), r in zip(pairs, res):
+        if len(b) > len(a):
+            a, b = b, a
+        ref = psa_scan.psa_align(a, b, AlignParams())
+        assert r.score == int(ref.score)
+        assert r.last == int(ref.last)
+
+
+def test_batch_traced_planes(mesh81):
+    rng = np.random.default_rng(5)
+    pairs = [(rng.integers(65, 69, 100).astype(np.uint8),
+              rng.integers(65, 69, 80).astype(np.uint8))
+             for _ in range(4)]
+    res = batch.align_batch(pairs, AlignParams(), traced=True, mesh=mesh81)
+    for (a, b), r in zip(pairs, res):
+        ref = psa_scan.psa_align(a, b, AlignParams(), traced=True)
+        assert np.array_equal(np.asarray(ref.back), np.asarray(r.back))
+        assert np.array_equal(np.asarray(ref.fback), np.asarray(r.fback))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_longseq_sharded_matches_oracle(mesh24, seed):
+    rng = np.random.default_rng(seed)
+    n, m = int(rng.integers(64, 1200)), int(rng.integers(20, 300))
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = rng.integers(65, 69, m).astype(np.uint8)
+    p = AlignParams() if seed % 2 == 0 else AlignParams(3, -2, -1, -6)
+    best, corner = longseq.align_long(a, b, p, mesh=mesh24)
+    ref = psa_scan.psa_align(a, b, p)
+    assert best == int(ref.score)
+    assert corner == int(ref.last)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import jax
+
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    best, corner = jax.jit(fn)(*args)
+    assert best.shape == (4,)

@@ -1,0 +1,35 @@
+"""Pallas kernel vs scan oracle (interpret mode on CPU; the same kernel
+is verified on real TPU by bench.py / the driver)."""
+
+import numpy as np
+import pytest
+
+from tsta_tpu.ops import psa_pallas, psa_scan
+
+PARAMS = [(2, -5, -2, -4), (3, -2, -1, -6), (1, -2, -2, 0)]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_matches_oracle_traced(seed):
+    rng = np.random.default_rng(seed)
+    p = PARAMS[seed % len(PARAMS)]
+    n, m = int(rng.integers(5, 300)), int(rng.integers(5, 300))
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = rng.integers(65, 69, m).astype(np.uint8)
+    r1 = psa_scan.psa_align(a, b, p, traced=True)
+    r2 = psa_pallas.psa_align(a, b, p, traced=True)
+    assert int(r1.score) == int(r2.score)
+    assert int(r1.last) == int(r2.last)
+    assert np.array_equal(np.asarray(r1.back), r2.back)
+    assert np.array_equal(np.asarray(r1.fback), r2.fback)
+    assert np.array_equal(np.asarray(r1.eback), r2.eback)
+
+
+def test_pallas_score_only():
+    rng = np.random.default_rng(9)
+    a = rng.integers(65, 69, 500).astype(np.uint8)
+    b = rng.integers(65, 69, 400).astype(np.uint8)
+    r1 = psa_scan.psa_align(a, b, PARAMS[0])
+    r2 = psa_pallas.psa_align(a, b, PARAMS[0])
+    assert int(r1.score) == int(r2.score)
+    assert int(r1.last) == int(r2.last)

@@ -1,0 +1,170 @@
+"""Host-side POA graph for the TPU-native MSA engine.
+
+A clean partial-order graph with the reference's capabilities (node merge,
+edge weights, per-read passing sets, aligned-variant rings capped at one
+per base, heaviest-bundle consensus -- reference structures poa.h:100-134,
+fusion c-t-simd.c:659-977, topo.c, result.c) but with simplified,
+documented tie rules: the device DP (ops/msa_native.py) is the exact
+int32 recurrence, and fusion walks a 3-state (H/E/F) textbook traceback.
+
+Kept as plain numpy/int lists: the graph is the host side of the design;
+the device only ever sees dense per-round tensors derived from it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PoaGraph:
+    n_seq: int
+    bases: List[int] = dataclasses.field(default_factory=list)
+    preds: List[List[int]] = dataclasses.field(default_factory=list)
+    weights: List[List[int]] = dataclasses.field(default_factory=list)
+    passing: List[np.ndarray] = dataclasses.field(default_factory=list)
+    variants: List[List[int]] = dataclasses.field(default_factory=list)
+    # derived (rebuilt by toposort)
+    topo: List[int] = dataclasses.field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.bases)
+
+    def add_node(self, base: int, seq_no: int,
+                 preds: Optional[List[int]] = None) -> int:
+        idx = len(self.bases)
+        self.bases.append(int(base))
+        self.preds.append(list(preds or []))
+        self.weights.append([1] * len(preds or []))
+        p = np.zeros(self.n_seq, dtype=bool)
+        p[seq_no] = True
+        self.passing.append(p)
+        self.variants.append([])
+        return idx
+
+    def add_edge(self, src: int, dst: int, w: int = 1) -> None:
+        if src < 0:
+            return
+        try:
+            k = self.preds[dst].index(src)
+            self.weights[dst][k] += w
+        except ValueError:
+            self.preds[dst].append(src)
+            self.weights[dst].append(w)
+
+    @classmethod
+    def from_sequence(cls, seq: bytes, n_seq: int) -> "PoaGraph":
+        g = cls(n_seq=n_seq)
+        prev = -1
+        for ch in seq:
+            idx = g.add_node(ch, 0, [prev] if prev >= 0 else [])
+            prev = idx
+        g.toposort()
+        return g
+
+    def succs(self) -> List[List[int]]:
+        out: List[List[int]] = [[] for _ in range(len(self))]
+        for v, ps in enumerate(self.preds):
+            for p in ps:
+                out[p].append(v)
+        return out
+
+    def toposort(self) -> List[int]:
+        """Deterministic Kahn order, keeping aligned-variant rings
+        adjacent so they share an output column."""
+        n = len(self)
+        indeg = [len(p) for p in self.preds]
+        succs = self.succs()
+        ready = [v for v in range(n) if indeg[v] == 0]
+        order: List[int] = []
+        placed = [False] * n
+        import heapq
+        heapq.heapify(ready)
+        while ready:
+            v = heapq.heappop(ready)
+            if placed[v]:
+                continue
+            group = [v] + [w for w in self.variants[v]
+                           if not placed[w] and indeg[w] == 0]
+            for w in group:
+                if placed[w]:
+                    continue
+                placed[w] = True
+                order.append(w)
+                for s in succs[w]:
+                    indeg[s] -= 1
+                    if indeg[s] == 0:
+                        heapq.heappush(ready, s)
+        if len(order) != n:
+            # variants not yet ready break grouping; fall back to pure Kahn
+            remaining = [v for v in range(n) if not placed[v]]
+            indeg2 = {v: sum(1 for p in self.preds[v] if not placed[p])
+                      for v in remaining}
+            ready = sorted(v for v in remaining if indeg2[v] == 0)
+            while ready:
+                v = ready.pop(0)
+                placed[v] = True
+                order.append(v)
+                for s in succs[v]:
+                    if not placed[s]:
+                        indeg2[s] -= 1
+                        if indeg2[s] == 0:
+                            ready.append(s)
+                            ready.sort()
+        self.topo = order
+        return order
+
+    def sinks(self) -> List[int]:
+        has_succ = np.zeros(len(self), dtype=bool)
+        for ps in self.preds:
+            pass
+        for v, ps in enumerate(self.preds):
+            for p in ps:
+                has_succ[p] = True
+        return [v for v in range(len(self)) if not has_succ[v]]
+
+    def consensus(self) -> bytes:
+        """Heaviest-bundle consensus: best cumulative edge-weight path."""
+        n = len(self)
+        score = [0] * n
+        back = [-1] * n
+        for v in self.topo:
+            best, bp = 0, -1
+            for p, w in zip(self.preds[v], self.weights[v]):
+                cand = score[p] + w
+                if cand > best or (cand == best and bp >= 0
+                                   and score[p] > score[bp]):
+                    best, bp = cand, p
+            score[v] = best
+            back[v] = bp
+        sks = self.sinks()
+        end = max(sks, key=lambda v: score[v])
+        out = bytearray()
+        v = end
+        while v >= 0:
+            out.append(self.bases[v])
+            v = back[v]
+        out.reverse()
+        return bytes(out)
+
+    def msa_rows(self) -> List[bytes]:
+        """Row-wise MSA: one column per variant ring (reference
+        result.c:42-66 semantics)."""
+        printed = [False] * len(self)
+        cols: List[List[int]] = []
+        for v in self.topo:
+            if printed[v]:
+                continue
+            group = [v] + [w for w in self.variants[v] if not printed[w]]
+            for w in group:
+                printed[w] = True
+            cols.append(group)
+        rows = [bytearray(b"-" * len(cols)) for _ in range(self.n_seq)]
+        for ci, group in enumerate(cols):
+            for w in group:
+                for s in np.nonzero(self.passing[w])[0]:
+                    rows[s][ci] = self.bases[w]
+        return [bytes(r) for r in rows]

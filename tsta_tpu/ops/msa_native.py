@@ -1,0 +1,252 @@
+"""TPU-native MSA engine: exact int32 POA DP in JAX.
+
+The scalable counterpart of the bit-exact C compat engine
+(native/compat_msa.c).  Per round, the DP over (graph rows x new-sequence
+columns) runs on device as a ``lax.scan`` over topo-ordered graph rows;
+each step gathers the H/E rows of the node's predecessors, applies the
+exact affine POA recurrence, and resolves the in-row F dependency with
+the same closed-form prefix-max as the PSA kernels (see
+ops/psa_scan.py)::
+
+    E(v,j) = max_p max(E(p,j) + e, H(p,j) + o + e)
+    F(v,j) = o + j*e + max_{k<j}(C(k) - k*e),  C = max(diag, E)
+    H(v,j) = max(max_p H(p,j-1) + sub(v, a_j), E(v,j), F(v,j))
+
+with boundary H(v,-1) = o + (depth(v)+1) e (depth = shortest pred chain,
+matching the reference's ``frist_col_sorce`` +E chain, c-t-simd.c:196-199)
+and a virtual row H(-1,j) = o + (j+1)e for source nodes.
+
+Differences vs the compat engine (by design -- this engine is *exact*):
+no int8 saturation, no Logo/ogap clamps, no carry ladder.  On inputs
+where the reference's clamps never fire the round scores coincide; for 2
+sequences the round score equals the pairwise Gotoh corner score (tested
+against ops/psa_scan).
+
+Graph fusion, topological sorting, consensus, and row emission live on
+the host (models/poa_graph.py); fusion walks a 3-state (H/E/F) textbook
+traceback from packed device planes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.models.poa_graph import PoaGraph
+from tsta_tpu.ops.psa_scan import NEG, bucket
+
+
+@functools.partial(jax.jit, static_argnames=("params", "N", "n", "max_in"))
+def _round_dp(bases, preds, pmask, hm1, valid, a, n_real, params, N, n,
+              max_in):
+    """One MSA round: returns per-node sink scores + traceback planes.
+
+    bases:(N,) preds:(N,max_in) [buffer row ids, 0=virtual] pmask bool,
+    hm1:(N+1,) col(-1) boundary per buffer row, valid:(N,), a:(n,) uint8.
+    """
+    m_, x_, e_, o_ = (jnp.int32(params[0]), jnp.int32(params[1]),
+                      jnp.int32(params[2]), jnp.int32(params[3]))
+    a = a.astype(jnp.int32)
+    j_idx = jnp.arange(n, dtype=jnp.int32)
+    # buffer row 0 = virtual boundary row H(-1,j) = o + (j+1)e
+    h_virtual = o_ + (j_idx + 1) * e_
+    Hbuf0 = jnp.full((N + 1, n), NEG, jnp.int32).at[0].set(h_virtual)
+    Ebuf0 = jnp.full((N + 1, n), NEG, jnp.int32)
+
+    def step(carry, xs):
+        Hbuf, Ebuf = carry
+        i, base, pr, pm, hv_m1 = xs
+        Hp = jnp.take(Hbuf, pr, axis=0)          # (max_in, n)
+        Ep = jnp.take(Ebuf, pr, axis=0)
+        pm_col = pm[:, None]
+        Hm1p = jnp.take(hm1, pr)                 # H(p, -1) per pred
+
+        sub = jnp.where(a == base, m_, x_)
+        diag_p = jnp.concatenate([Hm1p[:, None], Hp[:, :-1]], axis=1)
+        diag_p = jnp.where(pm_col, diag_p, NEG)
+        diag_best = jnp.max(diag_p, axis=0)
+        h_pred = jnp.argmax(diag_p, axis=0).astype(jnp.int8)
+        diag = diag_best + sub
+
+        e_cand = jnp.maximum(Ep + e_, Hp + (o_ + e_))
+        e_cand = jnp.where(pm_col, e_cand, NEG)
+        e_row = jnp.max(e_cand, axis=0)
+        e_pred = jnp.argmax(e_cand, axis=0).astype(jnp.int8)
+        # extend if the winning candidate came from Ep + e
+        e_ext = (jnp.take_along_axis(
+            Ep + e_, e_pred[None].astype(jnp.int32), axis=0)[0] == e_row)
+
+        c = jnp.maximum(diag, e_row)
+        g = jnp.concatenate([jnp.full((1,), hv_m1 + e_, jnp.int32),
+                             c[:-1] - j_idx[:-1] * e_])
+        p = jax.lax.cummax(g)
+        f_row = o_ + j_idx * e_ + p
+        h_row = jnp.maximum(c, f_row)
+        # F extend test: F(v,j) == F(v,j-1) + e
+        f_prev = jnp.concatenate([jnp.full((1,), NEG, jnp.int32),
+                                  f_row[:-1]])
+        f_ext = f_row == f_prev + e_
+
+        # precedence: diagonal > E > F
+        h_type = jnp.where(h_row == diag, jnp.int32(0),
+                           jnp.where(h_row == e_row, jnp.int32(1),
+                                     jnp.int32(2)))
+
+        row_id = i + 1
+        Hbuf = jax.lax.cond(
+            valid[i],
+            lambda B: jax.lax.dynamic_update_slice(B, h_row[None],
+                                                   (row_id, 0)),
+            lambda B: B, Hbuf)
+        Ebuf = jax.lax.cond(
+            valid[i],
+            lambda B: jax.lax.dynamic_update_slice(B, e_row[None],
+                                                   (row_id, 0)),
+            lambda B: B, Ebuf)
+        sink_score = h_row[n_real - 1]
+        packed = (h_type * 4 + e_ext.astype(jnp.int32) * 2
+                  + f_ext.astype(jnp.int32)).astype(jnp.int8)
+        return (Hbuf, Ebuf), (sink_score, packed, h_pred, e_pred)
+
+    xs = (jnp.arange(N, dtype=jnp.int32), bases, preds, pmask,
+          jnp.take(hm1, jnp.arange(1, N + 1)))
+    (_, _), (sink_scores, packed, h_pred, e_pred) = jax.lax.scan(
+        step, (Hbuf0, Ebuf0), xs)
+    return sink_scores, packed, h_pred, e_pred
+
+
+def _prepare_round(g: PoaGraph, params: AlignParams):
+    """Dense per-round tensors from the host graph (topo order)."""
+    order = g.topo
+    N_real = len(order)
+    pos = {v: i for i, v in enumerate(order)}  # node -> topo row
+    max_in = max(1, max(len(g.preds[v]) for v in order))
+    N = bucket(N_real)
+    preds = np.zeros((N, max_in), np.int32)
+    pmask = np.zeros((N, max_in), bool)
+    bases = np.zeros((N,), np.int32)
+    hm1 = np.full((N + 1,), NEG, np.int64)
+    hm1[0] = 0  # virtual H(-1,-1)
+    e_, o_ = params.gap_extend, params.gap_open
+    for i, v in enumerate(order):
+        bases[i] = g.bases[v]
+        ps = g.preds[v]
+        if not ps:
+            preds[i, 0] = 0  # virtual row
+            pmask[i, 0] = True
+            hm1[i + 1] = o_ + e_
+        else:
+            for k, pv in enumerate(ps):
+                preds[i, k] = pos[pv] + 1
+                pmask[i, k] = True
+            hm1[i + 1] = max(hm1[pos[pv] + 1] for pv in ps) + e_
+    valid = np.zeros((N,), bool)
+    valid[:N_real] = True
+    return (bases, preds, pmask, hm1.astype(np.int32), valid, N, N_real,
+            max_in, pos, order)
+
+
+def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
+          e_pred, preds_tensor, best_row: int) -> int:
+    """Walk the 3-state traceback and merge ``seq`` into the graph.
+
+    Returns the number of nodes added.
+    """
+    n = len(seq)
+    align = [None] * n  # per new-seq position: graph node id or None
+    state = "H"
+    row, j = best_row, n - 1
+    while j >= 0:
+        if row < 0:  # ran off the virtual row: rest is a prefix
+            break
+        if state == "H":
+            code = int(packed[row, j])
+            h_type = code >> 2
+            if h_type == 0:
+                align[j] = order[row]
+                prow = int(preds_tensor[row, int(h_pred[row, j])]) - 1
+                row, j = prow, j - 1
+            elif h_type == 1:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            code = int(packed[row, j])
+            prow = int(preds_tensor[row, int(e_pred[row, j])]) - 1
+            state = "E" if (code >> 1) & 1 else "H"
+            row = prow
+        else:  # F: new-seq base j inserted against a gap
+            code = int(packed[row, j])
+            state = "F" if code & 1 else "H"
+            align[j] = None
+            j -= 1
+
+    before = len(g)
+    prev = -1
+    for jj in range(n):
+        v = align[jj]
+        if v is not None and g.bases[v] != seq[jj]:
+            # mismatch: reuse an aligned variant with this base or create
+            ring = g.variants[v]
+            cand = next((w for w in ring if g.bases[w] == seq[jj]), None)
+            if cand is None:
+                w = g.add_node(seq[jj], seq_no)
+                full_ring = [v] + ring
+                for r in full_ring:
+                    g.variants[r] = g.variants[r] + [w]
+                g.variants[w] = full_ring
+                v = w
+            else:
+                v = cand
+        if v is None:
+            v = g.add_node(seq[jj], seq_no)
+        g.passing[v][seq_no] = True
+        g.add_edge(prev, v)
+        prev = v
+    return len(g) - before
+
+
+def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams()):
+    """Progressive POA MSA, device DP per round (native engine)."""
+    from tsta_tpu.models.msa import MsaOutput
+
+    if not seqs:
+        raise ValueError("no sequences")
+    n_seq = len(seqs)
+    g = PoaGraph.from_sequence(seqs[0], n_seq)
+    p = (params.match, params.mismatch, params.gap_extend, params.gap_open)
+    round_scores, graph_lens, add_lens = [], [], []
+    reads = list(range(1, n_seq)) if n_seq > 1 else [0]
+    for seq_no in reads:
+        seq = seqs[seq_no]
+        (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
+         order) = _prepare_round(g, params)
+        n_real = len(seq)
+        n = bucket(n_real)
+        a = np.zeros((n,), np.uint8)
+        a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
+        sink_scores, packed, h_pred, e_pred = _round_dp(
+            jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
+            jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
+            jnp.int32(n_real), p, N, n, max_in)
+        sink_scores = np.asarray(sink_scores)
+        packed = np.asarray(packed)
+        h_pred = np.asarray(h_pred)
+        e_pred = np.asarray(e_pred)
+        sinks = set(g.sinks())
+        sink_rows = [i for i, v in enumerate(order) if v in sinks]
+        best_row = max(sink_rows, key=lambda i: sink_scores[i])
+        round_scores.append(int(sink_scores[best_row]))
+        added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred, e_pred,
+                      preds, best_row)
+        add_lens.append(added)
+        graph_lens.append(len(g))
+        g.toposort()
+    return MsaOutput(rows=g.msa_rows(), consensus=g.consensus(),
+                     round_scores=round_scores, graph_len=graph_lens,
+                     add_len=add_lens)

@@ -1,0 +1,141 @@
+"""Batched PSA: many pairs, data-parallel over chips.
+
+The reference aligns one pair per process.  Here pairs are bucketed by
+padded shape (one compilation per bucket), stacked, and run through a
+``vmap`` of the row-scan kernel; the batch dimension is sharded over the
+mesh ``data`` axis with ``NamedSharding`` -- every op in the scan body is
+elementwise over the batch, so XLA partitions the whole program without
+collectives until the final host gather (SURVEY.md section 7 stage 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.io import encode_dna, read_fasta
+from tsta_tpu.ops import psa_scan
+from tsta_tpu.ops.psa_scan import A_PAD, B_PAD, bucket
+from tsta_tpu.parallel import mesh as meshlib
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n", "m", "traced"))
+def _batch_scan(a_stack, b_stack, n_reals, m_reals, params, n, m, traced):
+    def one(a, b, nr, mr):
+        return psa_scan._psa_scan(a, b, nr, mr, params, n, m, traced)
+    return jax.vmap(one)(a_stack, b_stack, n_reals, m_reals)
+
+
+def _pad_stack(seqs: Sequence[np.ndarray], width: int, fill: int
+               ) -> np.ndarray:
+    out = np.full((len(seqs), width), fill, np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, :len(s)] = s
+    return out
+
+
+def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+                params: AlignParams = AlignParams(),
+                traced: bool = False,
+                mesh=None,
+                swap: bool = True):
+    """Align a list of (a, b) byte-array pairs.
+
+    Returns a list of PsaResult in input order.  Pairs are grouped into
+    shape buckets; each bucket is padded to the mesh's data-axis size so
+    every device holds an equal shard.
+    """
+    p = (params.match, params.mismatch, params.gap_extend, params.gap_open)
+    prepped = []
+    for a, b in pairs:
+        a = encode_dna(a)
+        b = encode_dna(b)
+        if swap and b.shape[0] > a.shape[0]:
+            a, b = b, a
+        prepped.append((a, b))
+
+    buckets = {}
+    for idx, (a, b) in enumerate(prepped):
+        key = (bucket(a.shape[0]), bucket(b.shape[0]))
+        buckets.setdefault(key, []).append(idx)
+
+    n_data = 1
+    sharding = None
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        sharding = meshlib.data_sharding(mesh)
+
+    results: List[Optional[psa_scan.PsaResult]] = [None] * len(prepped)
+    for (n, m), idxs in buckets.items():
+        # pad the batch to a multiple of the data axis
+        batch = list(idxs)
+        while len(batch) % n_data:
+            batch.append(idxs[0])
+        a_stack = _pad_stack([prepped[i][0] for i in batch], n, A_PAD)
+        b_stack = _pad_stack([prepped[i][1] for i in batch], m, B_PAD)
+        n_reals = np.array([prepped[i][0].shape[0] for i in batch], np.int32)
+        m_reals = np.array([prepped[i][1].shape[0] for i in batch], np.int32)
+        args = [jnp.asarray(a_stack), jnp.asarray(b_stack),
+                jnp.asarray(n_reals), jnp.asarray(m_reals)]
+        if sharding is not None:
+            args = [jax.device_put(x, sharding) for x in args]
+        out = _batch_scan(*args, p, n, m, traced)
+        if traced:
+            best, corner, back, fback, eback = out
+        else:
+            best, corner = out
+        best = np.asarray(best)
+        corner = np.asarray(corner)
+        for pos, i in enumerate(batch[:len(idxs)]):
+            if traced:
+                nr, mr = int(n_reals[pos]), int(m_reals[pos])
+                results[i] = psa_scan.PsaResult(
+                    int(best[pos]), int(corner[pos]),
+                    np.asarray(back[pos])[:mr, :nr],
+                    np.asarray(fback[pos])[:mr, :nr],
+                    np.asarray(eback[pos])[:mr, :nr])
+            else:
+                results[i] = psa_scan.PsaResult(int(best[pos]),
+                                                int(corner[pos]))
+    return results
+
+
+def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
+                   traced: bool = False, out_dir: Optional[str] = None,
+                   mesh=None):
+    """Align pairs listed in a TSV manifest (name, fasta1, fasta2)."""
+    import os
+
+    names, pairs = [], []
+    with open(manifest_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, f1, f2 = line.split("\t")[:3]
+            r1 = next(iter(read_fasta(f1)))
+            r2 = next(iter(read_fasta(f2)))
+            names.append(name)
+            pairs.append((r1.sequence, r2.sequence))
+    results = align_batch(pairs, params, traced=traced, mesh=mesh)
+    rows = []
+    for name, (a, b), res in zip(names, pairs, results):
+        row = {"name": name, "score": int(res.score),
+               "corner": int(res.last), "cells": len(a) * len(b)}
+        if traced and out_dir:
+            from tsta_tpu.ops import traceback as tb
+            os.makedirs(out_dir, exist_ok=True)
+            aln = tb.decode_pair(res.back, res.fback, res.eback,
+                                 encode_dna(a) if len(a) >= len(b)
+                                 else encode_dna(b),
+                                 encode_dna(b) if len(a) >= len(b)
+                                 else encode_dna(a))
+            with open(os.path.join(out_dir, name + ".txt"), "wb") as fo:
+                fo.write(b">1\n" + aln.a_row + b"\n>2\n" + aln.b_row)
+        rows.append(row)
+    return rows
