@@ -10,6 +10,7 @@ engine wall, and exact-match checks against golden outputs.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -21,6 +22,15 @@ import numpy as np  # noqa: E402
 BASELINE_GCUPS = 1.25  # TSTA_psa_notrace, AVX512, 1 thread (BASELINE.md)
 
 EX = "/root/reference/example"
+DEADLINE = time.time() + float(os.environ.get("TSTA_BENCH_BUDGET_S", "420"))
+
+
+def note(msg):
+    print("[bench] " + msg, file=sys.stderr, flush=True)
+
+
+def time_left():
+    return DEADLINE - time.time()
 
 
 def time_best(fn, warmup=1, iters=3):
@@ -54,20 +64,27 @@ def main():
     cells = len(a) * len(b)
 
     # --- primary: single-pair score-only Pallas kernel ----------------
+    note("compiling score-only pallas kernel (10k example)...")
     res = psa_pallas.psa_align(a, b, p, traced=False)
     detail["psa_score"] = int(res.score)
     detail["psa_score_exact"] = int(res.score) == -5
+    note("score %d; timing..." % int(res.score))
 
     def run_notrace():
         r = psa_pallas.psa_align(a, b, p, traced=False)
-        jax.block_until_ready(r.score)
+        # force a host transfer: block_until_ready does not reliably wait
+        # for completion on the tunneled axon backend
+        int(r.score)
 
     dt = time_best(run_notrace)
     gcups = cells / dt / 1e9
     detail["psa_notrace_gcups"] = round(gcups, 3)
+    note("psa notrace %.2f GCUPS; %ds left" % (gcups, time_left()))
 
     # --- traced kernel, device-side throughput ------------------------
     try:
+        if time_left() < 120:
+            raise RuntimeError("skipped: bench budget")
         n_pad = (len(a) + 127) // 128 * 128
         m_pad = (len(b) + psa_pallas.T_R - 1) // psa_pallas.T_R \
             * psa_pallas.T_R
@@ -84,32 +101,38 @@ def main():
         def run_traced():
             out = psa_pallas._psa_pallas(a2d, bcol, n_pad, m_pad, len(b),
                                          len(a), p, True)
-            jax.block_until_ready(out)
+            np.asarray(out[0])  # sync via host transfer of the score
 
         dt_tr = time_best(run_traced, warmup=1, iters=2)
         detail["psa_traced_gcups_device"] = round(cells / dt_tr / 1e9, 3)
+        note("traced device %.2f GCUPS" % (cells / dt_tr / 1e9))
     except Exception as e:  # keep the bench alive
         detail["psa_traced_error"] = str(e)[:200]
 
     # --- batched throughput (scan kernel, vmap) -----------------------
     try:
-        from tsta_tpu.parallel import batch as pbatch
+        if time_left() < 120:
+            raise RuntimeError("skipped: bench budget")
+        note("compiling batched pallas kernel (%ds left)..." % time_left())
         rng = np.random.default_rng(0)
-        nb, ln = 32, 2048
+        nb, ln = 64, 2048
         pairs = [(rng.integers(65, 69, ln).astype(np.uint8),
                   rng.integers(65, 69, ln).astype(np.uint8))
                  for _ in range(nb)]
 
         def run_batch():
-            pbatch.align_batch(pairs, params)
+            sc, _ = psa_pallas.psa_align_batch(pairs, p)
+            return sc
 
         dt_b = time_best(run_batch, warmup=1, iters=2)
         detail["psa_batch_gcups"] = round(nb * ln * ln / dt_b / 1e9, 3)
+        note("batch %.2f GCUPS" % (nb * ln * ln / dt_b / 1e9))
     except Exception as e:
         detail["psa_batch_error"] = str(e)[:200]
 
     # --- MSA compat engine (bit-exact CPU path) -----------------------
     try:
+        note("msa compat engine (%ds left)..." % time_left())
         t0 = time.perf_counter()
         out = msa_model.align_file(EX + "/msa/seq/seq1.fa", params)
         dt_m = time.perf_counter() - t0

@@ -80,7 +80,8 @@ def cmd_batch(args) -> int:
     t0 = time.time()
     results = pbatch.align_manifest(args.pairs, _params(args),
                                     traced=args.traced,
-                                    out_dir=args.out_dir)
+                                    out_dir=args.out_dir,
+                                    resume=args.resume)
     wall = time.time() - t0
     cells = sum(r["cells"] for r in results)
     print(json.dumps({"pairs": len(results), "wall_s": round(wall, 4),
@@ -158,6 +159,9 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default=None,
                    help="directory for per-pair alignment outputs")
     p.add_argument("--scores", default=None, help="write scores TSV here")
+    p.add_argument("--resume", default=None, metavar="JSONL",
+                   help="incremental result store; completed pairs are "
+                        "skipped on restart (preemption-safe)")
     p.set_defaults(fn=cmd_batch)
 
     if argv is None:

@@ -48,9 +48,17 @@ def align_pair(seq1: bytes, seq2: bytes, params: AlignParams = AlignParams(),
         swapped = True
     a = encode_dna(seq1)
     b = encode_dna(seq2)
-    if kernel == "pallas" or (kernel == "auto" and _use_pallas(a, b, traced)):
+    use_pallas = kernel == "pallas" or (kernel == "auto"
+                                        and _use_pallas(a, b, traced))
+    if use_pallas and traced:
         from tsta_tpu.ops import psa_pallas
-        res = psa_pallas.psa_align(a, b, params, traced=traced)
+        # traceback decoded on device; the O(n*m) plane never leaves HBM
+        score, corner, aln = psa_pallas.psa_align_traced_device(a, b, params)
+        return PsaOutput(score=score, corner=corner, swapped=swapped,
+                         a_row=aln.a_row, b_row=aln.b_row)
+    if use_pallas:
+        from tsta_tpu.ops import psa_pallas
+        res = psa_pallas.psa_align(a, b, params, traced=False)
     else:
         res = psa_scan.psa_align(a, b, params, traced=traced)
     out = PsaOutput(score=int(res.score), corner=int(res.last),

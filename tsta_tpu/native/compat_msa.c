@@ -50,52 +50,78 @@
 
 typedef uint8_t vec[BB];
 
-static inline void v_set1(uint8_t* d, int x) {
-  memset(d, (uint8_t)x, BB);
+/* GCC generic vectors: each helper compiles to a handful of SIMD
+ * instructions without hand-written intrinsics.  Saturation is done with
+ * the standard overflow-mask trick; semantics are bit-identical to the
+ * scalar definitions (fuzz-compared in tests). */
+typedef uint8_t u8v __attribute__((vector_size(BB), aligned(1)));
+typedef int8_t s8v __attribute__((vector_size(BB), aligned(1)));
+
+static inline u8v vld(const uint8_t* p) {
+  u8v v;
+  memcpy(&v, p, BB);
+  return v;
 }
+static inline void vst(uint8_t* d, u8v v) { memcpy(d, &v, BB); }
+static inline s8v s_splat(int8_t x) {
+  s8v v;
+  for (int k = 0; k < BB; k++) v[k] = x;
+  return v;
+}
+
+static inline void v_set1(uint8_t* d, int x) { memset(d, (uint8_t)x, BB); }
 static inline void v_zero(uint8_t* d) { memset(d, 0, BB); }
 static inline void v_copy(uint8_t* d, const uint8_t* a) { memcpy(d, a, BB); }
 
 /* wrapping add/sub (two's complement, same bits signed or unsigned) */
 static inline void v_add(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = (uint8_t)(a[k] + b[k]);
+  vst(d, vld(a) + vld(b));
 }
 static inline void v_sub(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = (uint8_t)(a[k] - b[k]);
+  vst(d, vld(a) - vld(b));
 }
-/* signed saturating add/sub */
-static inline uint8_t sat8(int v) {
-  if (v > 127) return (uint8_t)127;
-  if (v < -128) return (uint8_t)(int8_t)(-128);
-  return (uint8_t)(int8_t)v;
-}
+/* signed saturating add/sub: overflow where operand signs agree (add) /
+ * differ (sub) and the result sign flips; saturate to sign-selected
+ * extreme ((x >> 7) ^ 127 = -128 for negative x, 127 otherwise). */
 static inline void v_adds(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = sat8((int8_t)a[k] + (int8_t)b[k]);
+  s8v x = (s8v)vld(a), y = (s8v)vld(b);
+  s8v r = x + y;
+  s8v ov = (~(x ^ y) & (x ^ r)) >> 7; /* -1 where overflow */
+  s8v sat = (x >> 7) ^ s_splat(127);
+  vst(d, (u8v)((r & ~ov) | (sat & ov)));
 }
 static inline void v_subs(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = sat8((int8_t)a[k] - (int8_t)b[k]);
+  s8v x = (s8v)vld(a), y = (s8v)vld(b);
+  s8v r = x - y;
+  s8v ov = ((x ^ y) & (x ^ r)) >> 7; /* -1 where overflow */
+  s8v sat = (x >> 7) ^ s_splat(127);
+  vst(d, (u8v)((r & ~ov) | (sat & ov)));
 }
 /* unsigned saturating sub */
 static inline void v_subs_u(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = a[k] > b[k] ? (uint8_t)(a[k] - b[k]) : 0;
+  u8v x = vld(a), y = vld(b);
+  u8v m = (u8v)(x > y);
+  vst(d, (x - y) & m);
 }
 static inline void v_max(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++)
-    d[k] = ((int8_t)a[k] > (int8_t)b[k]) ? a[k] : b[k];
+  s8v x = (s8v)vld(a), y = (s8v)vld(b);
+  s8v m = x > y; /* vector compare: -1/0 mask */
+  vst(d, (u8v)((x & m) | (y & ~m)));
 }
 static inline void v_cmpeq(uint8_t* m, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) m[k] = (a[k] == b[k]) ? 0xFF : 0;
+  vst(m, (u8v)(vld(a) == vld(b)));
 }
 static inline void v_cmpgt(uint8_t* m, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) m[k] = ((int8_t)a[k] > (int8_t)b[k]) ? 0xFF : 0;
+  vst(m, (u8v)((s8v)vld(a) > (s8v)vld(b)));
 }
 static inline void v_and(uint8_t* d, const uint8_t* a, const uint8_t* b) {
-  for (int k = 0; k < BB; k++) d[k] = a[k] & b[k];
+  vst(d, vld(a) & vld(b));
 }
-/* d[k] = mask[k] ? b[k] : a[k]  (blendv semantics) */
+/* d[k] = mask[k] ? b[k] : a[k]  (blendv semantics; mask bytes 0xFF/0) */
 static inline void v_blend(uint8_t* d, const uint8_t* a, const uint8_t* b,
                            const uint8_t* m) {
-  for (int k = 0; k < BB; k++) d[k] = m[k] ? b[k] : a[k];
+  u8v mm = vld(m);
+  vst(d, (vld(b) & mm) | (vld(a) & ~mm));
 }
 /* shift the whole vector up one byte (lane k <- lane k-1, lane 0 <- 0) */
 static inline void v_shift1(uint8_t* d, const uint8_t* a) {

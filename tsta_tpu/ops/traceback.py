@@ -101,3 +101,117 @@ def score_alignment(a_row: bytes, b_row: bytes, params) -> int:
             score += m_ if ca == cb else x_
             in_gap_a = in_gap_b = False
     return score
+
+
+# ---------------------------------------------------------------------
+# Device-side decode of the Pallas kernel's packed plane.
+#
+# The reference's trace() mutates the back plane as it walks: on a left
+# move whose fback marks an extended (or tie-continued) gap it forces
+# back[i][j-1] = 0, and symmetrically for up moves (psa/psa.c:450-459).
+# The mutated cell is always the next cell visited, so the walk is
+# equivalent to carrying a "forced move" flag -- which makes it a pure
+# function suitable for a lax.while_loop on device.  Only the move list
+# (<= m+n bytes) is transferred to the host, not the O(m*n) planes.
+# ---------------------------------------------------------------------
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _decode_moves(plane, m, n):
+    """plane: (m, n) int8 packed as back*9 + f*3 + e (psa_pallas packing).
+
+    Returns (moves, count): moves[t] in {0:left, 1:diag, 2:up}, emitted
+    from the walk start (i=m-1, j=n-1); count = number of moves until
+    both i and j are exhausted (boundary tails included).
+    """
+    maxlen = m + n
+
+    def cond(st):
+        i, j, t, forced, moves = st
+        return jnp.logical_or(i >= 0, j >= 0)
+
+    def body(st):
+        i, j, t, forced, moves = st
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        code = jnp.where(in_core,
+                         plane[jnp.maximum(i, 0), jnp.maximum(j, 0)],
+                         0).astype(jnp.int32)
+        back = code // 9
+        f = (code // 3) % 3   # 0 extend, 1 open, 2 open-tie
+        e = code % 3
+        move = jnp.where(in_core,
+                         jnp.where(forced > 0, forced - 1, back),
+                         jnp.where(j >= 0, 0, 2))
+        # run-continuation: look up the mark of the *entered* cell
+        fprev = jnp.where(j > 0,
+                          (plane[jnp.maximum(i, 0),
+                                 jnp.maximum(j - 1, 0)] // 3) % 3,
+                          0).astype(jnp.int32)
+        eprev = jnp.where(i > 0,
+                          (plane[jnp.maximum(i - 1, 0),
+                                 jnp.maximum(j, 0)] % 3),
+                          0).astype(jnp.int32)
+        # extend (code 0) always continues; an open (code 1 or 2)
+        # continues iff the entered cell carries the tie mark (code 2,
+        # i.e. the reference's negative fback/eback)
+        force_left = jnp.logical_and(
+            move == 0,
+            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+        force_up = jnp.logical_and(
+            move == 2,
+            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+        forced_next = jnp.where(in_core,
+                                jnp.where(force_left, 1,
+                                          jnp.where(force_up, 3, 0)),
+                                0)
+        moves = moves.at[t].set(move.astype(jnp.int8))
+        di = jnp.where(move == 0, 0, 1)
+        dj = jnp.where(move == 2, 0, 1)
+        return i - di, j - dj, t + 1, forced_next, moves
+
+    i0 = jnp.int32(m - 1)
+    j0 = jnp.int32(n - 1)
+    moves0 = jnp.zeros((maxlen,), jnp.int8)
+    i, j, t, _, moves = jax.lax.while_loop(
+        cond, body, (i0, j0, jnp.int32(0), jnp.int32(0), moves0))
+    return moves, t
+
+
+def decode_pair_device(plane, a: np.ndarray, b: np.ndarray) -> Alignment:
+    """Decode a device-resident packed plane into the aligned pair.
+
+    ``plane`` is the (m, n) int8 array produced by the Pallas traced
+    kernel (possibly still on device).  Byte-equivalent to running
+    ``decode_pair`` on the unpacked planes.
+    """
+    m, n = int(plane.shape[0]), int(plane.shape[1])
+    moves, count = _decode_moves(plane, m, n)
+    moves = np.asarray(moves)[:int(count)]
+    # moves run from the end of the alignment backwards
+    gap = ord("-")
+    out_a = np.empty(len(moves), np.uint8)
+    out_b = np.empty(len(moves), np.uint8)
+    ai = n - 1
+    bi = m - 1
+    for t, mv in enumerate(moves):
+        if mv == 1:
+            out_a[t] = a[ai]
+            out_b[t] = b[bi]
+            ai -= 1
+            bi -= 1
+        elif mv == 0:
+            out_a[t] = a[ai]
+            out_b[t] = gap
+            ai -= 1
+        else:
+            out_a[t] = gap
+            out_b[t] = b[bi]
+            bi -= 1
+    return Alignment(out_a[::-1].tobytes(), out_b[::-1].tobytes())

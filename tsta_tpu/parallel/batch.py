@@ -43,12 +43,18 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                 params: AlignParams = AlignParams(),
                 traced: bool = False,
                 mesh=None,
-                swap: bool = True):
+                swap: bool = True,
+                kernel: str = "auto"):
     """Align a list of (a, b) byte-array pairs.
 
     Returns a list of PsaResult in input order.  Pairs are grouped into
     shape buckets; each bucket is padded to the mesh's data-axis size so
     every device holds an equal shard.
+
+    ``kernel``: 'pallas' runs a whole score-only bucket in one kernel
+    launch (grid = batch x row-blocks; fastest on TPU); 'scan' uses the
+    vmapped row scan (needed for traced mode and sharded meshes);
+    'auto' picks pallas for score-only single-device TPU runs.
     """
     p = (params.match, params.mismatch, params.gap_extend, params.gap_open)
     prepped = []
@@ -70,7 +76,24 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
         n_data = mesh.shape["data"]
         sharding = meshlib.data_sharding(mesh)
 
+    if kernel == "auto":
+        import jax
+        kernel = ("pallas" if (not traced and mesh is None
+                               and jax.default_backend() == "tpu")
+                  else "scan")
+
     results: List[Optional[psa_scan.PsaResult]] = [None] * len(prepped)
+    if kernel == "pallas":
+        from tsta_tpu.ops import psa_pallas
+        for (n, m), idxs in buckets.items():
+            bucket_pairs = [prepped[i] for i in idxs]
+            scores, corners = psa_pallas.psa_align_batch(bucket_pairs,
+                                                         params)
+            for pos, i in enumerate(idxs):
+                results[i] = psa_scan.PsaResult(int(scores[pos]),
+                                                int(corners[pos]))
+        return results
+
     for (n, m), idxs in buckets.items():
         # pad the batch to a multiple of the data axis
         batch = list(idxs)
@@ -107,23 +130,36 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
 
 def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
                    traced: bool = False, out_dir: Optional[str] = None,
-                   mesh=None):
-    """Align pairs listed in a TSV manifest (name, fasta1, fasta2)."""
+                   mesh=None, resume: Optional[str] = None):
+    """Align pairs listed in a TSV manifest (name, fasta1, fasta2).
+
+    With ``resume``, results stream into a JSONL store and pairs already
+    recorded there are skipped -- a preempted job restarts at pair
+    granularity (the reference restarts from scratch; SURVEY.md sec. 5).
+    """
     import os
 
-    names, pairs = [], []
+    store = None
+    if resume:
+        from tsta_tpu.utils.checkpoint import ShardedResults
+        store = ShardedResults(resume)
+
+    names, pairs, skipped = [], [], []
     with open(manifest_path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             name, f1, f2 = line.split("\t")[:3]
+            if store is not None and store.done(name):
+                skipped.append(store.get(name))
+                continue
             r1 = next(iter(read_fasta(f1)))
             r2 = next(iter(read_fasta(f2)))
             names.append(name)
             pairs.append((r1.sequence, r2.sequence))
     results = align_batch(pairs, params, traced=traced, mesh=mesh)
-    rows = []
+    rows = list(skipped)
     for name, (a, b), res in zip(names, pairs, results):
         row = {"name": name, "score": int(res.score),
                "corner": int(res.last), "cells": len(a) * len(b)}
@@ -137,5 +173,7 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
                                  else encode_dna(a))
             with open(os.path.join(out_dir, name + ".txt"), "wb") as fo:
                 fo.write(b">1\n" + aln.a_row + b"\n>2\n" + aln.b_row)
+        if store is not None:
+            store.record(row)
         rows.append(row)
     return rows
