@@ -81,31 +81,27 @@ def main():
     detail["psa_notrace_gcups"] = round(gcups, 3)
     note("psa notrace %.2f GCUPS; %ds left" % (gcups, time_left()))
 
-    # --- traced kernel, device-side throughput ------------------------
+    # --- traced pipeline end-to-end (device walk, host strings) -------
     try:
         if time_left() < 120:
             raise RuntimeError("skipped: bench budget")
-        n_pad = (len(a) + 127) // 128 * 128
-        m_pad = (len(b) + psa_pallas.T_R - 1) // psa_pallas.T_R \
-            * psa_pallas.T_R
-        a_p = np.zeros(n_pad, np.uint8)
-        a_p[:len(a)] = a
-        b_p = np.ones(m_pad, np.uint8)
-        b_p[:len(b)] = b
-        a2d = np.ascontiguousarray(
-            a_p.astype(np.int32).reshape(-1, 128))
-        bcol = b_p.astype(np.int32).reshape(-1, 1)
-        import jax.numpy as jnp
-        a2d, bcol = jnp.asarray(a2d), jnp.asarray(bcol)
+
+        aln_box = {}
 
         def run_traced():
-            out = psa_pallas._psa_pallas(a2d, bcol, n_pad, m_pad, len(b),
-                                         len(a), p, True)
-            np.asarray(out[0])  # sync via host transfer of the score
+            sc, _, aln = psa_pallas.psa_align_traced_device(a, b, p)
+            aln_box["aln"] = aln
+            return sc
 
         dt_tr = time_best(run_traced, warmup=1, iters=2)
-        detail["psa_traced_gcups_device"] = round(cells / dt_tr / 1e9, 3)
-        note("traced device %.2f GCUPS" % (cells / dt_tr / 1e9))
+        detail["psa_traced_gcups_e2e"] = round(cells / dt_tr / 1e9, 3)
+        ref_out = open("tests/golden/example_big/psa_default.out",
+                       "rb").read()
+        mine = (b">1\n" + aln_box["aln"].a_row + b"\n>2\n"
+                + aln_box["aln"].b_row)
+        detail["psa_traceback_exact"] = mine == ref_out
+        note("traced e2e %.2f GCUPS exact=%s"
+             % (cells / dt_tr / 1e9, detail["psa_traceback_exact"]))
     except Exception as e:  # keep the bench alive
         detail["psa_traced_error"] = str(e)[:200]
 

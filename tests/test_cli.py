@@ -1,0 +1,99 @@
+"""End-to-end CLI tests (the reference's user surface)."""
+
+import json
+import os
+
+import pytest
+
+from tsta_tpu import cli
+
+
+def run_cli(argv, capsys):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_psa_cli_golden(golden_dir, tmp_path, capsys):
+    d = os.path.join(golden_dir, "psa_small1")
+    out_file = tmp_path / "o.txt"
+    rc, out = run_cli(["psa", "-1", d + "/a.fa", "-2", d + "/b.fa",
+                       "-o", str(out_file), "--kernel", "scan"], capsys)
+    assert rc == 0
+    assert out.strip() == open(d + "/ref.stdout").read().strip()
+    assert out_file.read_bytes() == open(d + "/ref.out", "rb").read()
+
+
+def test_psa_cli_negative_flag_values(golden_dir, tmp_path, capsys):
+    d = os.path.join(golden_dir, "psa_small4")  # generated with -X -3
+    out_file = tmp_path / "o.txt"
+    rc, out = run_cli(["psa", "-X", "-3", "-1", d + "/a.fa",
+                       "-2", d + "/b.fa", "-o", str(out_file),
+                       "--kernel", "scan"], capsys)
+    assert rc == 0
+    assert out_file.read_bytes() == open(d + "/ref.out", "rb").read()
+
+
+def test_psa_cli_notrace_json(golden_dir, capsys):
+    d = os.path.join(golden_dir, "psa_small1")
+    rc, out = run_cli(["psa", "--notrace", "--json", "-1", d + "/a.fa",
+                       "-2", d + "/b.fa", "--kernel", "scan"], capsys)
+    assert rc == 0
+    rec = json.loads(out)
+    assert rec["score"] == 155 and rec["output"] is None
+
+
+def test_psa_cli_missing_file(capsys):
+    rc, _ = run_cli(["psa", "-1", "/nonexistent.fa", "-2", "/also.fa"],
+                    capsys)
+    assert rc == 1
+
+
+def test_psa_cli_bad_params(capsys):
+    rc, _ = run_cli(["psa", "-E", "1", "-1", "x", "-2", "y"], capsys)
+    assert rc == 1
+
+
+def test_msa_cli_golden(golden_dir, tmp_path, capsys):
+    d = os.path.join(golden_dir, "msa_small1")
+    out_file = tmp_path / "m.txt"
+    rc, _ = run_cli(["msa", "-i", d + "/seqs.fa", "-o", str(out_file)],
+                    capsys)
+    assert rc == 0
+    assert out_file.read_bytes() == open(d + "/ref.out", "rb").read()
+
+
+def test_psa_cli_fastq_input(tmp_path, capsys):
+    f1 = tmp_path / "a.fq"
+    f2 = tmp_path / "b.fq"
+    f1.write_bytes(b"@r1\nACGTACGTAC\n+\nIIIIIIIIII\n")
+    f2.write_bytes(b"@r2\nACGTTCGTAC\n+\nIIIIIIIIII\n")
+    rc, out = run_cli(["psa", "--notrace", "--json", "-1", str(f1),
+                       "-2", str(f2), "--kernel", "scan"], capsys)
+    assert rc == 0
+    assert json.loads(out)["score"] > 0
+
+
+def test_batch_cli(golden_dir, tmp_path, capsys):
+    d = os.path.join(golden_dir, "psa_small1")
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text("p0\t%s\t%s\n" % (d + "/a.fa", d + "/b.fa"))
+    scores = tmp_path / "s.tsv"
+    rc, out = run_cli(["batch", "--pairs", str(manifest),
+                       "--scores", str(scores)], capsys)
+    assert rc == 0
+    assert json.loads(out)["pairs"] == 1
+    assert scores.read_text().strip() == "p0\t155"
+
+
+@pytest.mark.slow
+def test_msa_cli_w30_golden(golden_dir, tmp_path, capsys):
+    """example_msa.sh parameters (-X -3 -W 30) byte-parity."""
+    out_file = tmp_path / "m.txt"
+    rc, _ = run_cli(["msa", "-X", "-3", "-W", "30",
+                     "-i", "/root/reference/example/msa/seq/seq1.fa",
+                     "-o", str(out_file)], capsys)
+    assert rc == 0
+    ref = open(os.path.join(golden_dir, "example_big/msa_x3w30.out"),
+               "rb").read()
+    assert out_file.read_bytes() == ref

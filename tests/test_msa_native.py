@@ -59,3 +59,21 @@ def test_native_matches_compat_on_fixtures(golden_dir):
 def test_engine_dispatch():
     with pytest.raises(ValueError):
         msa.align_seqs([b"ACGT"], engine="bogus")
+
+
+def test_native_checkpoint_resume(tmp_path):
+    rng = np.random.default_rng(9)
+    seqs = [BASES[rng.integers(0, 4, 80)].tobytes()]
+    for _ in range(3):
+        seqs.append(_mutate(rng, seqs[0]))
+    full = msa_native.align_seqs(seqs, AlignParams())
+    ck = str(tmp_path / "g.npz")
+    out1 = msa_native.align_seqs(seqs, AlignParams(), checkpoint_path=ck)
+    assert out1.round_scores == full.round_scores
+    # resume from the complete snapshot: no rounds re-run, same output
+    out2 = msa_native.align_seqs(seqs, AlignParams(), checkpoint_path=ck)
+    assert out2.rows == full.rows and out2.consensus == full.consensus
+    # different params must invalidate the snapshot
+    out3 = msa_native.align_seqs(seqs, AlignParams(mismatch=-3),
+                                 checkpoint_path=str(tmp_path / "g2.npz"))
+    assert len(out3.round_scores) == 3

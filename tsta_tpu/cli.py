@@ -64,7 +64,11 @@ def cmd_psa(args) -> int:
 def cmd_msa(args) -> int:
     from tsta_tpu.models import msa
     t0 = time.time()
-    result = msa.align_file(args.input, _params(args), engine=args.engine)
+    # -W maps to the compat engine's stripe multiplier bS (reference
+    # msa.c:120-122); 0 means default (10)
+    width = args.W if args.W > 0 else 10
+    result = msa.align_file(args.input, _params(args), engine=args.engine,
+                            width=width)
     wall = time.time() - t0
     msa.write_result(result, args.output)
     if args.json:

@@ -76,7 +76,8 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
 
 def align_file(path: str, params: AlignParams = AlignParams(),
                engine: str = "compat", width: int = 10) -> MsaOutput:
-    seqs = [r.sequence for r in read_fasta(path)]
+    from tsta_tpu.io import read_records
+    seqs = [r.sequence for r in read_records(path)]
     return align_seqs(seqs, params, engine=engine, width=width)
 
 

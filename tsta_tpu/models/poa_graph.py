@@ -168,3 +168,47 @@ class PoaGraph:
                 for s in np.nonzero(self.passing[w])[0]:
                     rows[s][ci] = self.bases[w]
         return [bytes(r) for r in rows]
+
+
+def save_graph(path: str, g: PoaGraph, extra: Optional[Dict] = None) -> None:
+    """Serialise the graph to npz (CSR edges) for resume/debugging."""
+    indptr = np.cumsum([0] + [len(p) for p in g.preds])
+    np.savez_compressed(
+        path,
+        n_seq=g.n_seq,
+        bases=np.asarray(g.bases, np.uint8),
+        indptr=indptr.astype(np.int64),
+        indices=np.concatenate([np.asarray(p, np.int64) for p in g.preds]
+                               if g.preds else [np.zeros(0, np.int64)]),
+        weights=np.concatenate([np.asarray(w, np.int64) for w in g.weights]
+                               if g.weights else [np.zeros(0, np.int64)]),
+        passing=np.stack(g.passing) if g.passing else
+        np.zeros((0, g.n_seq), bool),
+        var_indptr=np.cumsum(
+            [0] + [len(v) for v in g.variants]).astype(np.int64),
+        var_indices=np.concatenate(
+            [np.asarray(v, np.int64) for v in g.variants]
+            if g.variants else [np.zeros(0, np.int64)]),
+        extra=np.frombuffer(
+            __import__("json").dumps(extra or {}).encode(), np.uint8),
+    )
+
+
+def load_graph(path: str) -> tuple:
+    """Load a graph snapshot; returns (PoaGraph, extra_dict)."""
+    import json
+    z = np.load(path)
+    g = PoaGraph(n_seq=int(z["n_seq"]))
+    indptr = z["indptr"]
+    var_indptr = z["var_indptr"]
+    for i, base in enumerate(z["bases"]):
+        g.bases.append(int(base))
+        g.preds.append(list(map(int, z["indices"][indptr[i]:indptr[i + 1]])))
+        g.weights.append(list(map(int,
+                                  z["weights"][indptr[i]:indptr[i + 1]])))
+        g.passing.append(z["passing"][i].copy())
+        g.variants.append(list(map(
+            int, z["var_indices"][var_indptr[i]:var_indptr[i + 1]])))
+    g.toposort()
+    extra = json.loads(bytes(z["extra"]).decode() or "{}")
+    return g, extra

@@ -84,11 +84,17 @@ def _use_pallas(a, b, traced) -> bool:
 
 def align_files(path1: str, path2: str, params: AlignParams = AlignParams(),
                 traced: bool = False, kernel: str = "auto") -> PsaOutput:
-    """Reference-compatible entry: first record of each FASTA file."""
-    rec1 = next(iter(read_fasta(path1)), None)
-    rec2 = next(iter(read_fasta(path2)), None)
+    """Reference-compatible entry: first record of each input file.
+
+    Accepts FASTA or FASTQ (auto-detected, gzip ok) -- the reference's
+    seqio carries a FASTQ reader its tools never call (seqio.c:543-641);
+    here it is live.
+    """
+    from tsta_tpu.io import read_records
+    rec1 = next(iter(read_records(path1)), None)
+    rec2 = next(iter(read_records(path2)), None)
     if rec1 is None or rec2 is None:
-        raise ValueError("empty FASTA input")
+        raise ValueError("empty sequence input")
     return align_pair(rec1.sequence, rec2.sequence, params, traced=traced,
                       kernel=kernel)
 

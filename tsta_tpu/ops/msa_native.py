@@ -211,18 +211,39 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
     return len(g) - before
 
 
-def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams()):
-    """Progressive POA MSA, device DP per round (native engine)."""
+def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
+               checkpoint_path: str | None = None):
+    """Progressive POA MSA, device DP per round (native engine).
+
+    With ``checkpoint_path``, the graph is snapshotted after every round
+    (npz) and a matching snapshot resumes the run mid-way -- the
+    reference restarts multi-hour progressive alignments from scratch
+    (SURVEY.md section 5).
+    """
     from tsta_tpu.models.msa import MsaOutput
+    from tsta_tpu.models.poa_graph import load_graph, save_graph
+    from tsta_tpu.utils.checkpoint import seqs_digest
 
     if not seqs:
         raise ValueError("no sequences")
     n_seq = len(seqs)
+    digest = seqs_digest(seqs)
     g = PoaGraph.from_sequence(seqs[0], n_seq)
     p = (params.match, params.mismatch, params.gap_extend, params.gap_open)
     round_scores, graph_lens, add_lens = [], [], []
     reads = list(range(1, n_seq)) if n_seq > 1 else [0]
-    for seq_no in reads:
+    if checkpoint_path:
+        import os
+        if os.path.exists(checkpoint_path):
+            g2, extra = load_graph(checkpoint_path)
+            if extra.get("digest") == digest and extra.get("params") == \
+                    list(p):
+                g = g2
+                round_scores = extra["round_scores"]
+                graph_lens = extra["graph_len"]
+                add_lens = extra["add_len"]
+                reads = reads[extra["next_read_idx"]:]
+    for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
         (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
          order) = _prepare_round(g, params)
@@ -247,6 +268,13 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams()):
         add_lens.append(added)
         graph_lens.append(len(g))
         g.toposort()
+        if checkpoint_path:
+            save_graph(checkpoint_path, g, extra={
+                "digest": digest, "params": list(p),
+                "round_scores": round_scores, "graph_len": graph_lens,
+                "add_len": add_lens,
+                "next_read_idx": read_idx + 1 + (len(seqs) - 1
+                                                - len(reads))})
     return MsaOutput(rows=g.msa_rows(), consensus=g.consensus(),
                      round_scores=round_scores, graph_len=graph_lens,
                      add_len=add_lens)
