@@ -44,7 +44,26 @@ def time_best(fn, warmup=1, iters=3):
     return best
 
 
+def _watchdog():
+    """Guarantee one JSON line even if a remote compile hangs."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "psa_notrace_gcups_1chip", "value": 0.0,
+            "unit": "GCUPS", "vs_baseline": 0.0,
+            "detail": {"error": "bench watchdog: compile/run exceeded "
+                                "budget; remote TPU compile stalled"},
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(max(60.0, DEADLINE - time.time() + 90), fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _watchdog()
     import jax
 
     from tsta_tpu.config import AlignParams

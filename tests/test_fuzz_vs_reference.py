@@ -1,0 +1,90 @@
+"""Differential fuzzing against the *reference binaries* (if present).
+
+Stronger evidence than vendored goldens: random inputs generated at test
+time, reference run fresh, outputs compared byte-for-byte.  Skipped when
+the reference build is unavailable (binaries live outside the repo).
+
+PSA sequence lengths are multiples of L=160: for other lengths the
+reference pads seq1 with uninitialised heap bytes (psa.c:202-207), making
+its own output environment-dependent.  MSA pads with 'N' (deterministic),
+so any lengths go.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.models import msa, psa
+
+REF = "/tmp/refbuild"
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF + "/TSTA_psa"),
+    reason="reference binaries not built (see /tmp/refbuild)")
+
+
+def _mutate(rng, s, rate=0.12):
+    s = np.frombuffer(s, np.uint8).copy()
+    mask = rng.random(len(s)) < rate
+    s[mask] = BASES[rng.integers(0, 4, mask.sum())]
+    out = list(s.tobytes())
+    for _ in range(max(1, len(out) // 80)):
+        pos = int(rng.integers(0, len(out)))
+        if rng.random() < 0.5:
+            del out[pos:pos + int(rng.integers(1, 4))]
+        else:
+            ins = BASES[rng.integers(0, 4, int(rng.integers(1, 4)))]
+            out[pos:pos] = list(ins.tobytes())
+    return bytes(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_psa_fuzz_vs_binary(tmp_path, seed):
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(1, 5)) * 160
+    m = int(rng.integers(1, 5)) * 160
+    s1 = BASES[rng.integers(0, 4, n)].tobytes()
+    s2 = (_mutate(rng, s1) + BASES[rng.integers(0, 4, m)].tobytes())[:m]
+    f1, f2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    f1.write_bytes(b">a\n" + s1 + b"\n")
+    f2.write_bytes(b">b\n" + s2 + b"\n")
+    extra = [] if seed % 2 == 0 else ["-X", "-3", "-O", "-6"]
+    params = AlignParams() if seed % 2 == 0 else \
+        AlignParams(mismatch=-3, gap_open=-6)
+    ref_out = tmp_path / "ref.txt"
+    r = subprocess.run(
+        [REF + "/TSTA_psa", "-1", str(f1), "-2", str(f2),
+         "-o", str(ref_out)] + extra, capture_output=True, check=True)
+    out = psa.align_files(str(f1), str(f2), params, traced=True,
+                          kernel="scan")
+    assert b"maxsorce=%d" % out.score == r.stdout.strip()
+    my = tmp_path / "my.txt"
+    psa.write_alignment(out, str(my))
+    assert my.read_bytes() == ref_out.read_bytes()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_msa_fuzz_vs_binary(tmp_path, seed):
+    rng = np.random.default_rng(2000 + seed)
+    k = int(rng.integers(3, 7))
+    base = BASES[rng.integers(0, 4, int(rng.integers(80, 400)))].tobytes()
+    seqs = [base] + [_mutate(rng, base) for _ in range(k - 1)]
+    fa = tmp_path / "seqs.fa"
+    with open(fa, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">s%d\n" % i + s + b"\n")
+    extra = [] if seed % 2 == 0 else ["-X", "-3"]
+    params = AlignParams() if seed % 2 == 0 else AlignParams(mismatch=-3)
+    ref_out = tmp_path / "ref.txt"
+    subprocess.run([REF + "/TSTA_msa", "-i", str(fa), "-o", str(ref_out)]
+                   + extra, capture_output=True, check=True)
+    out = msa.align_file(str(fa), params)
+    my = tmp_path / "my.txt"
+    msa.write_result(out, str(my))
+    assert my.read_bytes() == ref_out.read_bytes()

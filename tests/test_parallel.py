@@ -77,3 +77,24 @@ def test_graft_entry_forward():
     fn, args = ge.entry()
     best, corner = jax.jit(fn)(*args)
     assert best.shape == (4,)
+
+
+def test_msa_sharded_round_matches_native(mesh24):
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def mut(s, rate=0.1):
+        s = np.frombuffer(s, np.uint8).copy()
+        m = rng.random(len(s)) < rate
+        s[m] = bases[rng.integers(0, 4, m.sum())]
+        return s.tobytes()
+
+    seqs = [bases[rng.integers(0, 4, 250)].tobytes()]
+    for _ in range(3):
+        seqs.append(mut(seqs[0]))
+    ref = msa_native.align_seqs(seqs, AlignParams())
+    shd = msa_native.align_seqs(seqs, AlignParams(), mesh=mesh24)
+    assert shd.round_scores == ref.round_scores
+    assert shd.rows == ref.rows
+    assert shd.consensus == ref.consensus

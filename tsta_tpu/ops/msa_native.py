@@ -212,7 +212,7 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
 
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
-               checkpoint_path: str | None = None):
+               checkpoint_path: str | None = None, mesh=None):
     """Progressive POA MSA, device DP per round (native engine).
 
     With ``checkpoint_path``, the graph is snapshotted after every round
@@ -245,20 +245,28 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                 reads = reads[extra["next_read_idx"]:]
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
-        (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
-         order) = _prepare_round(g, params)
-        n_real = len(seq)
-        n = bucket(n_real)
-        a = np.zeros((n,), np.uint8)
-        a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
-        sink_scores, packed, h_pred, e_pred = _round_dp(
-            jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
-            jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
-            jnp.int32(n_real), p, N, n, max_in)
-        sink_scores = np.asarray(sink_scores)
-        packed = np.asarray(packed)
-        h_pred = np.asarray(h_pred)
-        e_pred = np.asarray(e_pred)
+        if mesh is not None:
+            # long-read path: columns sharded over the mesh 'seq' axis
+            from tsta_tpu.parallel import msa_longseq
+            (sink_scores, packed, h_pred, e_pred, order,
+             preds) = msa_longseq.round_dp(g, bytes(seq), params, mesh)
+            n_real = len(seq)
+            packed = packed[:, :]
+        else:
+            (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
+             order) = _prepare_round(g, params)
+            n_real = len(seq)
+            n = bucket(n_real)
+            a = np.zeros((n,), np.uint8)
+            a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
+            sink_scores, packed, h_pred, e_pred = _round_dp(
+                jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
+                jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
+                jnp.int32(n_real), p, N, n, max_in)
+            sink_scores = np.asarray(sink_scores)
+            packed = np.asarray(packed)
+            h_pred = np.asarray(h_pred)
+            e_pred = np.asarray(e_pred)
         sinks = set(g.sinks())
         sink_rows = [i for i, v in enumerate(order) if v in sinks]
         best_row = max(sink_rows, key=lambda i: sink_scores[i])
