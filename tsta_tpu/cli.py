@@ -36,6 +36,9 @@ def _add_scoring_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "scan", "pallas"],
                    help="PSA kernel selection")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR "
+                        "(TensorBoard/Perfetto)")
 
 
 def _params(args):
@@ -46,9 +49,11 @@ def _params(args):
 
 def cmd_psa(args) -> int:
     from tsta_tpu.models import psa
+    from tsta_tpu.utils import profiling
     t0 = time.time()
-    out = psa.align_files(args.seq1, args.seq2, _params(args),
-                          traced=not args.notrace, kernel=args.kernel)
+    with profiling.trace(args.profile):
+        out = psa.align_files(args.seq1, args.seq2, _params(args),
+                              traced=not args.notrace, kernel=args.kernel)
     wall = time.time() - t0
     if not args.notrace:
         psa.write_alignment(out, args.output)

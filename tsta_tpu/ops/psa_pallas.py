@@ -50,7 +50,7 @@ T_R = 256  # rows per grid step
 
 
 def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
-            h_ref, e_ref, best_ref,
+            h_ref, e_ref, best_ref, last_acc_ref,
             *, R, m_real, n_real, params, traced):
     m_, x_, e_, o_ = params
     blk = pl.program_id(0)
@@ -99,6 +99,7 @@ def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
         h_ref[:] = o_ + (col_idx + 1) * e_      # H(-1, j)
         e_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
         best_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
+        last_acc_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
 
     def row_body(r, _):
         i = blk * T_R + r  # global row
@@ -119,12 +120,9 @@ def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
         best_ref[:] = jnp.maximum(best_ref[:], h_row)
         h_ref[:] = h_row
         e_ref[:] = e_row
-
-        @pl.when(i == m_real - 1)
-        def _corner():
-            corner_ref[0, 0] = h_row[(n_real - 1) // LANES,
-                                     (n_real - 1) % LANES]
-            last_ref[:] = h_row
+        # branch-free capture of the last real row (for corner/frontier)
+        last_acc_ref[:] = jnp.where(i == m_real - 1, h_row,
+                                    last_acc_ref[:])
 
         if traced:
             # int32 math throughout: Mosaic has no int8 vector ALU ops;
@@ -150,6 +148,10 @@ def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
     @pl.when(blk == nblk - 1)
     def _finish():
         score_ref[0, 0] = jnp.max(best_ref[:])
+        last = last_acc_ref[:]
+        last_ref[:] = last
+        corner_ref[0, 0] = last[(n_real - 1) // LANES,
+                                (n_real - 1) % LANES]
 
 
 @functools.partial(jax.jit,
@@ -179,9 +181,9 @@ def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
                                params=params, traced=traced)
     if not traced:
         def kernel_nt(b_ref, a_ref, score_ref, corner_ref, last_ref,
-                      h_ref, e_ref, best_ref):
+                      h_ref, e_ref, best_ref, last_acc_ref):
             return kernel(b_ref, a_ref, score_ref, corner_ref, last_ref,
-                          None, h_ref, e_ref, best_ref)
+                          None, h_ref, e_ref, best_ref, last_acc_ref)
         body = kernel_nt
     else:
         body = kernel
@@ -203,6 +205,7 @@ def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
             pltpu.VMEM((R, LANES), jnp.int32),   # H frontier
             pltpu.VMEM((R, LANES), jnp.int32),   # E frontier
             pltpu.VMEM((R, LANES), jnp.int32),   # vector best accumulator
+            pltpu.VMEM((R, LANES), jnp.int32),   # last real row capture
         ],
     )(bcol, a2d)
 
@@ -259,7 +262,7 @@ def psa_align(a: np.ndarray, b: np.ndarray, params, traced: bool = False
 
 
 def _batch_kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
-                  h_ref, e_ref, best_ref, *, R, params):
+                  h_ref, e_ref, best_ref, last_acc_ref, *, R, params):
     m_, x_, e_, o_ = params
     blk = pl.program_id(1)
     nblk = pl.num_programs(1)
@@ -308,6 +311,7 @@ def _batch_kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
         h_ref[:] = o_ + (col_idx + 1) * e_
         e_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
         best_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
+        last_acc_ref[:] = jnp.full((R, LANES), NEG, jnp.int32)
 
     def row_body(r, _):
         i = blk * T_R + r
@@ -327,11 +331,8 @@ def _batch_kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
         best_ref[:] = jnp.maximum(best_ref[:], h_row)
         h_ref[:] = h_row
         e_ref[:] = e_row
-
-        @pl.when(i == m_real - 1)
-        def _corner():
-            corner_ref[bidx, 0] = jnp.max(
-                jnp.where(col_idx == n_real - 1, h_row, NEG))
+        last_acc_ref[:] = jnp.where(i == m_real - 1, h_row,
+                                    last_acc_ref[:])
         return 0
 
     jax.lax.fori_loop(0, T_R, row_body, 0)
@@ -339,6 +340,8 @@ def _batch_kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
     @pl.when(blk == nblk - 1)
     def _finish():
         score_ref[bidx, 0] = jnp.max(best_ref[:])
+        corner_ref[bidx, 0] = jnp.max(
+            jnp.where(col_idx == n_real - 1, last_acc_ref[:], NEG))
 
 
 @functools.partial(jax.jit,
@@ -371,6 +374,7 @@ def _psa_pallas_batch(a3d, brows, nm, n_pad, m_pad, params):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.VMEM((R, LANES), jnp.int32),

@@ -144,11 +144,20 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
         from tsta_tpu.utils.checkpoint import ShardedResults
         store = ShardedResults(resume)
 
+    # multi-host: each process takes a strided slice of the manifest
+    # (host-level input scatter over DCN; results merge via the shared
+    # resume store or per-host score files)
+    import os as _os
+    n_proc = int(_os.environ.get("TSTA_NUM_PROCESSES", "1"))
+    proc_id = int(_os.environ.get("TSTA_PROCESS_ID", "0"))
+
     names, pairs, skipped = [], [], []
     with open(manifest_path) as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.strip()
             if not line or line.startswith("#"):
+                continue
+            if n_proc > 1 and lineno % n_proc != proc_id:
                 continue
             name, f1, f2 = line.split("\t")[:3]
             if store is not None and store.done(name):
