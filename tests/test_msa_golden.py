@@ -67,3 +67,16 @@ def test_two_seq_and_gzip(tmp_path):
     assert out.rows[0].replace(b"-", b"") == b"ACGTACGTAA"
     assert out.rows[1].replace(b"-", b"") == b"ACGTTCGTAA"
     assert len(out.consensus) > 0
+
+
+def test_edge_cases():
+    """Tiny/degenerate inputs are handled or cleanly rejected."""
+    import pytest as _pytest
+    out = msa.align_seqs([b"ACG", b"AG"])
+    assert out.rows[0].replace(b"-", b"") == b"ACG"
+    out = msa.align_seqs([b"ACGTACGT"] * 4)
+    assert out.rows == [b"ACGTACGT"] * 4
+    with _pytest.raises(ValueError):
+        msa.align_seqs([b"ACGT", b""])
+    with _pytest.raises(ValueError):
+        msa.align_seqs([])

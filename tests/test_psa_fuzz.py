@@ -78,3 +78,17 @@ def test_alignment_valid_and_scores_corner(seed):
     assert aln.a_row.replace(b"-", b"") == a.tobytes()
     assert aln.b_row.replace(b"-", b"") == b.tobytes()
     assert traceback.score_alignment(aln.a_row, aln.b_row, p) == int(res.last)
+
+
+def test_tiny_sequences():
+    """1-3 bp inputs through both kernels."""
+    from tsta_tpu.ops import psa_pallas
+    for n, m in [(1, 1), (1, 5), (2, 3), (3, 1)]:
+        a = np.frombuffer(b"ACGTA"[:n], np.uint8)
+        b = np.frombuffer(b"TGCAT"[:m], np.uint8)
+        p = AlignParams()
+        H, _, _ = brute_gotoh(a, b, p)
+        r1 = psa_scan.psa_align(a, b, p, traced=True)
+        r2 = psa_pallas.psa_align(a, b, p)
+        assert int(r1.score) == H[1:, 1:].max() == int(r2.score)
+        assert int(r1.last) == H[m, n] == int(r2.last)

@@ -42,6 +42,9 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     """
     if not seqs:
         raise ValueError("no sequences")
+    for i, s in enumerate(seqs):
+        if len(s) == 0:
+            raise ValueError("sequence %d is empty" % i)
     if engine == "native":
         from tsta_tpu.ops import msa_native
         return msa_native.align_seqs(seqs, params)
