@@ -129,8 +129,9 @@ def main():
         if time_left() < 120:
             raise RuntimeError("skipped: bench budget")
         note("compiling batched pallas kernel (%ds left)..." % time_left())
+        # BASELINE config 3 scale: 10kbp-class synthetic pairs
         rng = np.random.default_rng(0)
-        nb, ln = 64, 2048
+        nb, ln = 8, 10240
         pairs = [(rng.integers(65, 69, ln).astype(np.uint8),
                   rng.integers(65, 69, ln).astype(np.uint8))
                  for _ in range(nb)]

@@ -77,3 +77,21 @@ def test_native_checkpoint_resume(tmp_path):
     out3 = msa_native.align_seqs(seqs, AlignParams(mismatch=-3),
                                  checkpoint_path=str(tmp_path / "g2.npz"))
     assert len(out3.round_scores) == 3
+
+
+@pytest.mark.parametrize("seed", [3000, 3004, 3007, 3011])
+def test_cross_engine_scores_fuzz(seed):
+    """On realistic inputs the exact engine reproduces the compat
+    engine's round scores (reference clamps don't fire at ~7%
+    divergence) -- two independent implementations cross-check."""
+    rng = np.random.default_rng(seed)
+    base = BASES[rng.integers(0, 4, int(rng.integers(60, 250)))].tobytes()
+    seqs = [base]
+    for _ in range(int(rng.integers(2, 5))):
+        s = np.frombuffer(base, np.uint8).copy()
+        m = rng.random(len(s)) < 0.07
+        s[m] = BASES[rng.integers(0, 4, m.sum())]
+        seqs.append(s.tobytes())
+    c = msa.align_seqs(seqs, AlignParams(), engine="compat")
+    n = msa.align_seqs(seqs, AlignParams(), engine="native")
+    assert c.round_scores == n.round_scores

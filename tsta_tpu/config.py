@@ -42,19 +42,8 @@ class AlignParams:
         return cls(match=match, mismatch=mismatch, gap_extend=gap, gap_open=0)
 
 
-@dataclasses.dataclass(frozen=True)
-class EngineConfig:
-    """Execution configuration shared by PSA/MSA pipelines."""
-
-    # Tile edge for the Pallas wavefront kernel (columns per block). The
-    # reference's analogue is L = bS * simd_width (psa/psa.c:118,588).
-    tile: int = 512
-    # Which MSA engine: "compat" = bit-exact C engine reproducing the
-    # reference's int8 clamp semantics; "native" = exact int32 JAX engine.
-    msa_engine: str = "compat"
-    # Compat-engine striping geometry (must match the build of the reference
-    # that produced golden outputs; results verified lane-width independent).
-    compat_lanes: int = 16   # B: int8 lanes per SIMD vector (SSE4.2 build)
-    compat_width: int = 10   # bS: stripe multiplier; L = lanes * width
-    # Emit per-phase timing.
-    profile: bool = False
+# Engine-level knobs are plain keyword arguments on the pipeline entry
+# points (models/psa.align_pair(kernel=...), models/msa.align_seqs(engine=,
+# width=, mesh=, checkpoint_path=...)) rather than a config object: every
+# knob is local to one call site and scoring params (AlignParams) are the
+# only state shared across the stack.
