@@ -80,3 +80,18 @@ def test_edge_cases():
         msa.align_seqs([b"ACGT", b""])
     with _pytest.raises(ValueError):
         msa.align_seqs([])
+
+
+def test_variant_ring_beyond_four_bases():
+    """Regression: >4 distinct bases aligned to one column (IUPAC codes,
+    lowercase, protein) must not overflow the variant ring."""
+    base = b"ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT" * 2
+    seqs = [base]
+    for ch in b"CGTNMRW":
+        s = bytearray(base)
+        s[40] = ch
+        seqs.append(bytes(s))
+    out = msa.align_seqs(seqs, AlignParams())
+    assert len(out.rows) == len(seqs)
+    for row, s in zip(out.rows, seqs):
+        assert row.replace(b"-", b"") == s

@@ -98,3 +98,18 @@ def test_msa_sharded_round_matches_native(mesh24):
     assert shd.round_scores == ref.round_scores
     assert shd.rows == ref.rows
     assert shd.consensus == ref.consensus
+
+
+def test_msa_sharded_gap_run_crosses_shard_boundary(mesh24):
+    """Regression: an F gap run spanning a shard boundary must decode
+    identically to the unsharded engine (the boundary cell's 'extend'
+    mark needs the left shard's F exit value)."""
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s1 = bases[rng.integers(0, 4, 120)].tobytes()
+    s2 = s1[:60] + bases[rng.integers(0, 4, 300)].tobytes() + s1[60:]
+    ref = msa_native.align_seqs([s1, s2], AlignParams())
+    shd = msa_native.align_seqs([s1, s2], AlignParams(), mesh=mesh24)
+    assert shd.rows == ref.rows
+    assert shd.round_scores == ref.round_scores

@@ -33,3 +33,16 @@ def test_pallas_score_only():
     r2 = psa_pallas.psa_align(a, b, PARAMS[0])
     assert int(r1.score) == int(r2.score)
     assert int(r1.last) == int(r2.last)
+
+
+def test_positive_gap_open_rejected():
+    """Regression: padding is only score-safe for gap_open <= 0; the
+    kernels must reject rather than silently inflate the matrix max."""
+    import numpy as np
+    a = np.frombuffer(b"ACGTAC", np.uint8)
+    with pytest.raises(ValueError):
+        psa_pallas.psa_align(a, a, (2, -5, -2, 8))
+    with pytest.raises(ValueError):
+        psa_pallas.psa_align_batch([(a, a)], (2, -5, -2, 8))
+    with pytest.raises(ValueError):
+        psa_pallas.psa_align_traced_device(a, a, (2, -5, -2, 8))

@@ -27,11 +27,12 @@ def test_sharded_results_resume(tmp_path):
     assert len(st2.results()) == 2
 
 
-def test_msa_round_snapshot(tmp_path):
-    p = str(tmp_path / "snap.npz")
-    seqs = [b"ACGT", b"AGGT"]
-    checkpoint.save_msa_round(p, 1, seqs, {"scores": [5]})
-    snap = checkpoint.load_msa_round(p, seqs)
-    assert snap["round_idx"] == 1 and snap["stats"]["scores"] == [5]
-    assert checkpoint.load_msa_round(p, [b"ACGT", b"TTTT"]) is None
-    assert checkpoint.load_msa_round(str(tmp_path / "no.npz"), seqs) is None
+def test_graph_snapshot_roundtrip(tmp_path):
+    from tsta_tpu.models.poa_graph import PoaGraph, load_graph, save_graph
+    g = PoaGraph.from_sequence(b"ACGT", 2)
+    p = str(tmp_path / "g.npz")
+    save_graph(p, g, extra={"round": 1})
+    g2, extra = load_graph(p)
+    assert extra["round"] == 1
+    assert g2.bases == g.bases and g2.preds == g.preds
+    assert checkpoint.seqs_digest([b"A"]) != checkpoint.seqs_digest([b"C"])

@@ -8,18 +8,20 @@ One binary with subcommands replaces the reference's three
     tsta batch --pairs manifest.tsv [flags]     # batched PSA over many pairs
 
 Scoring flags mirror the reference exactly: ``-M -X -E -O`` (psa/psa.c:546,
-msa/msa.c:81).  ``-T`` (threads) and ``-W`` (block width) are accepted for
-drop-in compatibility but ignored: scheduling is XLA's job and tile sizes
-are chosen per backend.  stdout of ``tsta psa`` matches the reference
+msa/msa.c:81).  ``-T`` (threads) is accepted and ignored (scheduling is
+XLA's job); ``-W`` maps to the compat MSA engine's stripe multiplier and
+is ignored by the PSA kernels (exact arithmetic is block-size
+independent).  stdout of ``tsta psa`` matches the reference
 (``maxsorce=%d`` with the reference's -100 init floor, psa/psa.c:110,666).
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
+
+from tsta_tpu.utils.logging import emit_json, get_logger
 
 
 def _add_scoring_flags(p: argparse.ArgumentParser) -> None:
@@ -30,7 +32,10 @@ def _add_scoring_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-T", type=int, default=0,
                    help="threads (ignored; kept for reference compatibility)")
     p.add_argument("-W", type=int, default=0,
-                   help="block width (ignored; kept for compatibility)")
+                   help="block width multiplier: sets the compat MSA "
+                        "engine's stripe geometry (reference bS, default "
+                        "10); ignored by the PSA kernels, whose exact "
+                        "arithmetic is block-size independent")
     p.add_argument("--json", action="store_true",
                    help="emit a JSON result line instead of reference stdout")
     p.add_argument("--kernel", default="auto",
@@ -58,9 +63,9 @@ def cmd_psa(args) -> int:
     if not args.notrace:
         psa.write_alignment(out, args.output)
     if args.json:
-        print(json.dumps({"score": out.score, "corner": out.corner,
-                          "wall_s": round(wall, 4),
-                          "output": None if args.notrace else args.output}))
+        emit_json({"score": out.score, "corner": out.corner,
+                   "wall_s": round(wall, 4),
+                   "output": None if args.notrace else args.output})
     else:
         print("maxsorce=%d" % max(out.score, psa.REFERENCE_SCORE_FLOOR))
     return 0
@@ -77,10 +82,10 @@ def cmd_msa(args) -> int:
     wall = time.time() - t0
     msa.write_result(result, args.output)
     if args.json:
-        print(json.dumps({"rounds": result.round_scores,
-                          "graph_len": result.graph_len,
-                          "consensus_len": len(result.consensus),
-                          "wall_s": round(wall, 4), "output": args.output}))
+        emit_json({"rounds": result.round_scores,
+                   "graph_len": result.graph_len,
+                   "consensus_len": len(result.consensus),
+                   "wall_s": round(wall, 4), "output": args.output})
     return 0
 
 
@@ -93,8 +98,8 @@ def cmd_batch(args) -> int:
                                     resume=args.resume)
     wall = time.time() - t0
     cells = sum(r["cells"] for r in results)
-    print(json.dumps({"pairs": len(results), "wall_s": round(wall, 4),
-                      "gcups": round(cells / wall / 1e9, 3)}))
+    emit_json({"pairs": len(results), "wall_s": round(wall, 4),
+               "gcups": round(cells / wall / 1e9, 3)})
     if args.scores:
         with open(args.scores, "w") as f:
             for r in results:
@@ -179,7 +184,7 @@ def main(argv=None) -> int:
     try:
         return args.fn(args)
     except (FileNotFoundError, ValueError) as e:
-        print("tsta: error: %s" % e, file=sys.stderr)
+        get_logger().error(str(e))
         return 1
 
 

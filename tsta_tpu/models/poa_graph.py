@@ -119,8 +119,6 @@ class PoaGraph:
 
     def sinks(self) -> List[int]:
         has_succ = np.zeros(len(self), dtype=bool)
-        for ps in self.preds:
-            pass
         for v, ps in enumerate(self.preds):
             for p in ps:
                 has_succ[p] = True

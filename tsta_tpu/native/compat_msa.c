@@ -156,8 +156,12 @@ struct Node {
   int fseed_cap;
   int* eweight;      /* per-pred edge weight */
   uint8_t* passing_seq; /* bitmap over input sequences */
-  Node* variants[4]; /* aligned mismatch variants in this column */
+  Node** variants;   /* aligned mismatch variants in this column
+                        (reference caps at 4 for A/C/G/T, poa.h:109;
+                        grown dynamically here so arbitrary alphabets
+                        cannot overflow the ring) */
   int n_variants;
+  int var_cap;
   int last_score;    /* absolute score at (this sink, last real column) */
   int indeg_tmp;     /* toposort working counter */
   int pass_flag;     /* toposort 'passing' */
@@ -186,6 +190,12 @@ static void pre_reserve(Node* n, int cap) {
     n->pre = (Node**)realloc(n->pre, n->in_cap * sizeof(Node*));
     n->eweight = (int*)realloc(n->eweight, n->in_cap * sizeof(int));
     n->fseed = (int8_t*)realloc(n->fseed, n->in_cap * sizeof(int8_t));
+  }
+}
+static void var_reserve(Node* n, int cap) {
+  if (cap > n->var_cap) {
+    n->var_cap = cap < 4 ? 4 : cap * 2;
+    n->variants = (Node**)realloc(n->variants, n->var_cap * sizeof(Node*));
   }
 }
 static void next_reserve(Node* n, int cap) {
@@ -1048,14 +1058,18 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
         n->sub = g->len + added;
         added++;
         /* cross-register in every variant's ring (cap 4: one per base) */
+        var_reserve(cur, cur->n_variants + 1);
         cur->variants[cur->n_variants] = n;
         cur->n_variants++;
         n->n_variants = cur->n_variants;
+        var_reserve(n, n->n_variants);
         n->variants[n->n_variants - 1] = cur;
         for (int s = 0; s < cur->n_variants - 1; s++) {
-          cur->variants[s]->n_variants++;
-          cur->variants[s]->variants[cur->n_variants - 1] = n;
-          n->variants[s] = cur->variants[s];
+          Node* sib = cur->variants[s];
+          sib->n_variants++;
+          var_reserve(sib, cur->n_variants);
+          sib->variants[cur->n_variants - 1] = n;
+          n->variants[s] = sib;
         }
       }
       num1 = cur->pre[pidx]->sub;
@@ -1413,6 +1427,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
     free(n->fseed);
     free(n->eweight);
     free(n->passing_seq);
+    free(n->variants);
     free(n);
   }
   free(c.all);

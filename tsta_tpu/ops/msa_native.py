@@ -232,6 +232,8 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     p = (params.match, params.mismatch, params.gap_extend, params.gap_open)
     round_scores, graph_lens, add_lens = [], [], []
     reads = list(range(1, n_seq)) if n_seq > 1 else [0]
+    if n_seq < 2:
+        checkpoint_path = None  # degenerate self-alignment: nothing to resume
     if checkpoint_path:
         import os
         if os.path.exists(checkpoint_path):

@@ -222,10 +222,11 @@ def psa_align(a: np.ndarray, b: np.ndarray, params, traced: bool = False
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
     p = tuple(int(v) for v in params)
-    if p[1] >= 0 or p[2] >= 0:
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
         # padded rows/columns rely on every pad move being score-decreasing
-        raise ValueError("pallas kernel requires mismatch < 0 and "
-                         "gap_extend < 0 (got X=%d E=%d)" % (p[1], p[2]))
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0 (got X=%d E=%d O=%d)"
+                         % (p[1], p[2], p[3]))
     a = np.asarray(a, dtype=np.uint8)
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])
@@ -390,9 +391,9 @@ def psa_align_batch(seq_pairs, params):
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
     p = tuple(int(v) for v in params)
-    if p[1] >= 0 or p[2] >= 0:
-        raise ValueError("pallas kernel requires mismatch < 0 and "
-                         "gap_extend < 0")
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0")
     B = len(seq_pairs)
     n_real = [int(a.shape[0]) for a, _ in seq_pairs]
     m_real = [int(b.shape[0]) for _, b in seq_pairs]
@@ -426,9 +427,9 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
     p = tuple(int(v) for v in params)
-    if p[1] >= 0 or p[2] >= 0:
-        raise ValueError("pallas kernel requires mismatch < 0 and "
-                         "gap_extend < 0")
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0")
     a = np.asarray(a, dtype=np.uint8)
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tsta_tpu.config import AlignParams
-from tsta_tpu.io import encode_dna, read_fasta
+from tsta_tpu.io import encode_dna, read_records
 from tsta_tpu.ops import psa_scan
 from tsta_tpu.ops.psa_scan import A_PAD, B_PAD, bucket
 from tsta_tpu.parallel import mesh as meshlib
@@ -163,8 +163,11 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
             if store is not None and store.done(name):
                 skipped.append(store.get(name))
                 continue
-            r1 = next(iter(read_fasta(f1)))
-            r2 = next(iter(read_fasta(f2)))
+            r1 = next(iter(read_records(f1)), None)
+            r2 = next(iter(read_records(f2)), None)
+            if r1 is None or r2 is None:
+                raise ValueError("manifest pair %r: empty sequence input"
+                                 % name)
             names.append(name)
             pairs.append((r1.sequence, r2.sequence))
     results = align_batch(pairs, params, traced=traced, mesh=mesh)

@@ -68,7 +68,7 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
                           jnp.full((N + 1,), NEG, jnp.int32)
                           .at[0].set(o_ + (d * C) * e_))
 
-        def one_row(i, Hbuf, Ebuf, leftH, leftG):
+        def one_row(i, Hbuf, Ebuf, leftH, leftG, leftF):
             base = bases[i]
             pr = jax.lax.dynamic_slice(preds, (i, 0), (1, max_in))[0]
             pm = jax.lax.dynamic_slice(pmask, (i, 0), (1, max_in))[0]
@@ -97,8 +97,12 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
             p = jax.lax.cummax(g_shift)
             f_row = o_ + col * e_ + p
             h_row = jnp.maximum(c, f_row)
-            f_prev = jnp.concatenate(
-                [jnp.full((1,), NEG, jnp.int32), f_row[:-1]])
+            # F(v, local_col-1): at local column 0 this is the left
+            # shard's F exit for this row (an F gap run may cross the
+            # shard boundary); the first shard keeps the NEG fill like
+            # the unsharded engine
+            f_prev0 = jnp.where(first, jnp.int32(NEG), leftF[i])
+            f_prev = jnp.concatenate([f_prev0[None], f_row[:-1]])
             f_ext = f_row == f_prev + e_
             h_type = jnp.where(h_row == diag, 0,
                                jnp.where(h_row == e_row, 1, 2))
@@ -106,10 +110,11 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
             packed = (h_type * 4 + e_ext.astype(jnp.int32) * 2
                       + f_ext.astype(jnp.int32)).astype(jnp.int8)
             gmax_out = jnp.maximum(seed, jnp.max(g))
-            return (h_row, e_row, packed, h_pred, e_pred, gmax_out)
+            return (h_row, e_row, packed, h_pred, e_pred, gmax_out,
+                    f_row[-1])
 
         def step_fn(carry, s):
-            (Hbuf, Ebuf, leftH, leftG, planes, hpreds, epreds,
+            (Hbuf, Ebuf, leftH, leftG, leftF, planes, hpreds, epreds,
              sink) = carry
             nb = s - d
             active = jnp.logical_and(nb >= 0, nb < n_blocks)
@@ -118,13 +123,14 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
                 Hbuf, Ebuf, planes, hpreds, epreds, sink = args
                 out_edge = vary(jnp.zeros((T_BLK,), jnp.int32))
                 out_g = vary(jnp.zeros((T_BLK,), jnp.int32))
+                out_f = vary(jnp.zeros((T_BLK,), jnp.int32))
 
                 def row_fn(r, st):
                     (Hbuf, Ebuf, planes, hpreds, epreds, sink, out_edge,
-                     out_g) = st
+                     out_g, out_f) = st
                     i = nb * T_BLK + r
-                    h_row, e_row, packed, h_pred, e_pred, gmax = one_row(
-                        i, Hbuf, Ebuf, leftH, leftG)
+                    (h_row, e_row, packed, h_pred, e_pred, gmax,
+                     f_exit) = one_row(i, Hbuf, Ebuf, leftH, leftG, leftF)
                     ok = valid[i]
                     Hbuf = jax.lax.cond(
                         ok, lambda B: jax.lax.dynamic_update_slice(
@@ -147,18 +153,21 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
                     sink = sink.at[i].set(jnp.maximum(sink[i], sval))
                     out_edge = out_edge.at[r].set(h_row[-1])
                     out_g = out_g.at[r].set(gmax)
+                    out_f = out_f.at[r].set(f_exit)
                     return (Hbuf, Ebuf, planes, hpreds, epreds, sink,
-                            out_edge, out_g)
+                            out_edge, out_g, out_f)
 
                 return jax.lax.fori_loop(
                     0, T_BLK, row_fn,
                     (Hbuf, Ebuf, planes, hpreds, epreds, sink, out_edge,
-                     out_g))
+                     out_g, out_f))
 
             (Hbuf, Ebuf, planes, hpreds, epreds, sink, out_edge,
-             out_g) = jax.lax.cond(
+             out_g, out_f) = jax.lax.cond(
                 active, run,
                 lambda args: args + (vary(jnp.full((T_BLK,), NEG,
+                                                   jnp.int32)),
+                                     vary(jnp.full((T_BLK,), NEG,
                                                    jnp.int32)),
                                      vary(jnp.full((T_BLK,), NEG,
                                                    jnp.int32))),
@@ -167,38 +176,42 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
             perm = [(i, (i + 1) % D) for i in range(D)]
             pkt_edge = jax.lax.ppermute(out_edge, "seq", perm)
             pkt_g = jax.lax.ppermute(out_g, "seq", perm)
+            pkt_f = jax.lax.ppermute(out_f, "seq", perm)
             pkt_nb = nb  # the block id those values belong to
             # accumulate the received edge values for block (s - d + 1)-1
             # = the block our left neighbour just finished
             recv_nb = s - (d - 1)
 
             def scatter(args):
-                leftH, leftG = args
+                leftH, leftG, leftF = args
                 leftH = jax.lax.dynamic_update_slice(
                     leftH, pkt_edge, (recv_nb * T_BLK + 1,))
                 leftG = jax.lax.dynamic_update_slice(
                     leftG, pkt_g, (recv_nb * T_BLK,))
-                return leftH, leftG
+                leftF = jax.lax.dynamic_update_slice(
+                    leftF, pkt_f, (recv_nb * T_BLK,))
+                return leftH, leftG, leftF
 
-            leftH, leftG = jax.lax.cond(
+            leftH, leftG, leftF = jax.lax.cond(
                 jnp.logical_and(d > 0,
                                 jnp.logical_and(recv_nb >= 0,
                                                 recv_nb < n_blocks)),
-                scatter, lambda args: args, (leftH, leftG))
+                scatter, lambda args: args, (leftH, leftG, leftF))
             del pkt_nb
-            return (Hbuf, Ebuf, leftH, leftG, planes, hpreds, epreds,
-                    sink), None
+            return (Hbuf, Ebuf, leftH, leftG, leftF, planes, hpreds,
+                    epreds, sink), None
 
         planes0 = vary(jnp.zeros((N, C), jnp.int8))
         hpreds0 = vary(jnp.zeros((N, C), jnp.int8))
         epreds0 = vary(jnp.zeros((N, C), jnp.int8))
         sink0 = vary(jnp.full((N,), NEG, jnp.int32))
         init = (Hbuf0, Ebuf0, edge0,  # edge0 already varying (uses d)
+                vary(jnp.full((N,), NEG, jnp.int32)),
                 vary(jnp.full((N,), NEG, jnp.int32)), planes0, hpreds0,
                 epreds0, sink0)
         carry, _ = jax.lax.scan(step_fn, init,
                                 jnp.arange(steps, dtype=jnp.int32))
-        _, _, _, _, planes, hpreds, epreds, sink = carry
+        _, _, _, _, _, planes, hpreds, epreds, sink = carry
         sink = jax.lax.pmax(sink, "seq")
         return sink[None], planes, hpreds, epreds
 

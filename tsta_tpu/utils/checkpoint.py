@@ -5,8 +5,10 @@ exits on any error, no resume).  Here:
 
 * batched PSA writes per-shard results incrementally, so a preempted job
   resumes at batch granularity (``ShardedResults``);
-* the MSA pipeline can snapshot per-round state (round index + per-round
-  stats + sequence set hash) to resume a long progressive alignment.
+* the MSA pipeline snapshots the POA graph per round via
+  models/poa_graph.save_graph (digest-validated; see
+  ops/msa_native.align_seqs(checkpoint_path=...)); ``seqs_digest`` here
+  keys those snapshots to their input set.
 """
 
 from __future__ import annotations
@@ -16,7 +18,6 @@ import json
 import os
 from typing import Dict, List, Optional
 
-import numpy as np
 
 
 class ShardedResults:
@@ -55,21 +56,3 @@ def seqs_digest(seqs) -> str:
         h.update(len(s).to_bytes(8, "little"))
         h.update(bytes(s))
     return h.hexdigest()[:16]
-
-
-def save_msa_round(path: str, round_idx: int, seqs, stats: dict) -> None:
-    """Snapshot MSA progress after a round (npz)."""
-    np.savez_compressed(path, round_idx=round_idx,
-                        digest=seqs_digest(seqs),
-                        stats=json.dumps(stats))
-
-
-def load_msa_round(path: str, seqs) -> Optional[dict]:
-    """Load a snapshot if it matches the sequence set, else None."""
-    if not os.path.exists(path):
-        return None
-    z = np.load(path, allow_pickle=False)
-    if str(z["digest"]) != seqs_digest(seqs):
-        return None
-    return {"round_idx": int(z["round_idx"]),
-            "stats": json.loads(str(z["stats"]))}
