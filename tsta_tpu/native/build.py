@@ -17,7 +17,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB = None
 
-CFLAGS = ["-O3", "-march=native", "-g", "-fPIC", "-shared", "-Wall"]
+CFLAGS = ["-O3", "-march=native", "-fopenmp", "-g", "-fPIC", "-shared",
+          "-Wall"]
 
 
 class MsaResultStruct(ctypes.Structure):

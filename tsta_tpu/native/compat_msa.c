@@ -37,6 +37,9 @@
  */
 
 #include <limits.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -85,14 +88,14 @@ static inline void v_sub(uint8_t* d, const uint8_t* a, const uint8_t* b) {
  * extreme ((x >> 7) ^ 127 = -128 for negative x, 127 otherwise). */
 static inline void v_adds(uint8_t* d, const uint8_t* a, const uint8_t* b) {
   s8v x = (s8v)vld(a), y = (s8v)vld(b);
-  s8v r = x + y;
+  s8v r = (s8v)((u8v)x + (u8v)y); /* wrap in unsigned: defined behavior */
   s8v ov = (~(x ^ y) & (x ^ r)) >> 7; /* -1 where overflow */
   s8v sat = (x >> 7) ^ s_splat(127);
   vst(d, (u8v)((r & ~ov) | (sat & ov)));
 }
 static inline void v_subs(uint8_t* d, const uint8_t* a, const uint8_t* b) {
   s8v x = (s8v)vld(a), y = (s8v)vld(b);
-  s8v r = x - y;
+  s8v r = (s8v)((u8v)x - (u8v)y); /* wrap in unsigned: defined behavior */
   s8v ov = ((x ^ y) & (x ^ r)) >> 7; /* -1 where overflow */
   s8v sat = (x >> 7) ^ s_splat(127);
   vst(d, (u8v)((r & ~ov) | (sat & ov)));
@@ -463,7 +466,9 @@ static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
 
   /* per-pred vector registers */
   enum { RMAX = 64 };
-  static vec t_[RMAX], e_[RMAX], f_[RMAX], v_[RMAX], vc1_[RMAX], vc2_[RMAX],
+  /* stack-allocated (13 * 64 * 16 B = 13 KB): row_block must be
+   * reentrant for the OpenMP wavefront */
+  vec t_[RMAX], e_[RMAX], f_[RMAX], v_[RMAX], vc1_[RMAX], vc2_[RMAX],
       vc0_[RMAX], y_[RMAX], dif_[RMAX], fv_[RMAX], eu_[RMAX], ev_[RMAX],
       q_[RMAX];
   if (pre_num > RMAX) {
@@ -821,8 +826,19 @@ static void round_dp(Ctx* c, Scratch* sc) {
     n->blockabs = (int*)malloc((c->maxtag + 2) * sizeof(int));
   }
 
-  /* anti-diagonal tile schedule, executed sequentially: identical
-   * values to the reference's thread-pool wavefront */
+  /* anti-diagonal tile wavefront: tiles of one diagonal touch disjoint
+   * row-blocks, so they run in parallel (the reference's thread-pool
+   * axis, c-t-simd.c:1019-1043) and compute identical values in any
+   * order.  The only shared write is the in==0 boundary poke
+   * (c-t-simd.c:176-188), where every tile of a diagonal stores the
+   * same bytes -- benign, as in the reference.  Each thread gets its
+   * own scratch. */
+  int nthreads = 1;
+#ifdef _OPENMP
+  nthreads = omp_get_max_threads();
+  if (nthreads > 16) nthreads = 16;
+#endif
+  Scratch* pool = (Scratch*)calloc(nthreads, sizeof(Scratch));
   int j = 0;
   for (int i = 0; i < tsl; i++) {
     if (i <= c->fmaxtag)
@@ -831,16 +847,37 @@ static void round_dp(Ctx* c, Scratch* sc) {
       ;
     else
       j--;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nthreads)
+#endif
     for (int l = 0; l < j; l++) {
+      int tid = 0;
+#ifdef _OPENMP
+      tid = omp_get_thread_num();
+#endif
       int nv = min_tag(c, i) - l;
       int a1 = (((i - c->maxtag) > 0 ? i - c->maxtag : 0) + l) * L;
       for (int r = 0; r < L; r++) {
         int a2 = a1 + r;
         if (a2 >= g->len) break;
-        row_block(c, i, j, l, g->sorted[a2], nv, sc);
+        row_block(c, i, j, l, g->sorted[a2], nv, &pool[tid]);
       }
     }
   }
+  for (int t = 0; t < nthreads; t++) {
+    Scratch* s = &pool[t];
+    for (int k = 0; k < s->cap; k++) {
+      free(s->f_lane[k]);
+      free(s->vcar1[k]);
+      free(s->vcar2[k]);
+      free(s->lsum[k]);
+    }
+    free(s->f_lane); free(s->vcar1); free(s->vcar2); free(s->lsum);
+    free(s->subsc); free(s->v0); free(s->car1); free(s->car2);
+    free(s->pd); free(s->te);
+  }
+  free(pool);
+  (void)sc;
 }
 
 /* ------------------------------------------------------------------ */
