@@ -77,8 +77,15 @@ def cmd_msa(args) -> int:
     # -W maps to the compat engine's stripe multiplier bS (reference
     # msa.c:120-122); 0 means default (10)
     width = args.W if args.W > 0 else 10
+    mesh = None
+    if args.mesh:
+        if args.engine != "native":
+            raise ValueError("--mesh requires --engine native")
+        from tsta_tpu.parallel import mesh as meshlib
+        data, seq = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = meshlib.make_mesh(data=data, seq=seq)
     result = msa.align_file(args.input, _params(args), engine=args.engine,
-                            width=width)
+                            width=width, mesh=mesh)
     wall = time.time() - t0
     msa.write_result(result, args.output)
     if args.json:
@@ -163,6 +170,10 @@ def main(argv=None) -> int:
                    choices=["compat", "native"],
                    help="compat = bit-exact vs reference; native = exact "
                         "int32 DP on TPU")
+    p.add_argument("--mesh", default=None, metavar="DATAxSEQ",
+                   help="native engine only: device mesh, e.g. 1x4 "
+                        "shards each round's columns over 4 devices "
+                        "(long-read path)")
     p.set_defaults(fn=cmd_msa)
 
     p = sub.add_parser("batch", help="batched PSA over many pairs")

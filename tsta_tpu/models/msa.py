@@ -34,7 +34,8 @@ class MsaOutput:
 
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
-               engine: str = "compat", width: int = 10) -> MsaOutput:
+               engine: str = "compat", width: int = 10, mesh=None,
+               checkpoint_path=None) -> MsaOutput:
     """Run progressive POA MSA over ``seqs`` (list of byte strings).
 
     ``width`` is the compat engine's stripe multiplier bS (reference -W,
@@ -47,9 +48,12 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
             raise ValueError("sequence %d is empty" % i)
     if engine == "native":
         from tsta_tpu.ops import msa_native
-        return msa_native.align_seqs(seqs, params)
+        return msa_native.align_seqs(seqs, params, mesh=mesh,
+                                     checkpoint_path=checkpoint_path)
     if engine != "compat":
         raise ValueError("unknown MSA engine %r" % engine)
+    if mesh is not None:
+        raise ValueError("mesh sharding requires engine='native'")
 
     from tsta_tpu.native import build
     lib = build.load()
@@ -78,10 +82,12 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
 
 
 def align_file(path: str, params: AlignParams = AlignParams(),
-               engine: str = "compat", width: int = 10) -> MsaOutput:
+               engine: str = "compat", width: int = 10, mesh=None,
+               checkpoint_path=None) -> MsaOutput:
     from tsta_tpu.io import read_records
     seqs = [r.sequence for r in read_records(path)]
-    return align_seqs(seqs, params, engine=engine, width=width)
+    return align_seqs(seqs, params, engine=engine, width=width, mesh=mesh,
+                      checkpoint_path=checkpoint_path)
 
 
 def write_result(out: MsaOutput, path: str) -> None:

@@ -41,9 +41,10 @@ def make_mesh(data: Optional[int] = None, seq: int = 1,
     n = len(devices)
     if data is None:
         data = n // seq
-    if data * seq != n:
-        raise ValueError("mesh %dx%d != %d devices" % (data, seq, n))
-    dev_array = np.asarray(devices).reshape(data, seq)
+    if data * seq > n:
+        raise ValueError("mesh %dx%d needs %d devices, have %d"
+                         % (data, seq, data * seq, n))
+    dev_array = np.asarray(devices[:data * seq]).reshape(data, seq)
     return Mesh(dev_array, ("data", "seq"))
 
 
