@@ -8,10 +8,11 @@ One binary with subcommands replaces the reference's three
     tsta batch --pairs manifest.tsv [flags]     # batched PSA over many pairs
 
 Scoring flags mirror the reference exactly: ``-M -X -E -O`` (psa/psa.c:546,
-msa/msa.c:81).  ``-T`` (threads) is accepted and ignored (scheduling is
-XLA's job); ``-W`` maps to the compat MSA engine's stripe multiplier and
-is ignored by the PSA kernels (exact arithmetic is block-size
-independent).  stdout of ``tsta psa`` matches the reference
+msa/msa.c:81).  ``-T`` caps the compat MSA
+engine's OpenMP wavefront threads (TPU kernels ignore it -- XLA
+schedules those); ``-W`` maps to the compat MSA engine's stripe
+multiplier and is ignored by the PSA kernels (exact arithmetic is
+block-size independent).  stdout of ``tsta psa`` matches the reference
 (``maxsorce=%d`` with the reference's -100 init floor, psa/psa.c:110,666).
 """
 
@@ -30,7 +31,9 @@ def _add_scoring_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-E", type=int, default=-2, help="gap-extend score [-2]")
     p.add_argument("-O", type=int, default=-4, help="gap-open score [-4]")
     p.add_argument("-T", type=int, default=0,
-                   help="threads (ignored; kept for reference compatibility)")
+                   help="threads for the compat MSA engine's OpenMP "
+                        "wavefront [all cores]; ignored by the TPU "
+                        "kernels (XLA schedules those)")
     p.add_argument("-W", type=int, default=0,
                    help="block width multiplier: sets the compat MSA "
                         "engine's stripe geometry (reference bS, default "
@@ -85,7 +88,7 @@ def cmd_msa(args) -> int:
         data, seq = (int(v) for v in args.mesh.lower().split("x"))
         mesh = meshlib.make_mesh(data=data, seq=seq)
     result = msa.align_file(args.input, _params(args), engine=args.engine,
-                            width=width, mesh=mesh)
+                            width=width, mesh=mesh, threads=args.T)
     wall = time.time() - t0
     msa.write_result(result, args.output)
     if args.json:

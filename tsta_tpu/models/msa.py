@@ -35,11 +35,12 @@ class MsaOutput:
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                engine: str = "compat", width: int = 10, mesh=None,
-               checkpoint_path=None) -> MsaOutput:
+               checkpoint_path=None, threads: int = 0) -> MsaOutput:
     """Run progressive POA MSA over ``seqs`` (list of byte strings).
 
     ``width`` is the compat engine's stripe multiplier bS (reference -W,
-    default 10; L = 16 * width columns per block).
+    default 10; L = 16 * width columns per block).  ``threads`` caps the
+    compat engine's OpenMP wavefront (reference -T; 0 = all cores).
     """
     if not seqs:
         raise ValueError("no sequences")
@@ -54,6 +55,9 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
         raise ValueError("unknown MSA engine %r" % engine)
     if mesh is not None:
         raise ValueError("mesh sharding requires engine='native'")
+    if checkpoint_path is not None:
+        raise ValueError("per-round checkpointing requires "
+                         "engine='native'")
 
     from tsta_tpu.native import build
     lib = build.load()
@@ -64,7 +68,7 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     rc = lib.tsta_msa_run(
         ctypes.cast(arr, ctypes.POINTER(ctypes.c_char_p)), lens, n,
         params.match, params.mismatch, params.gap_extend, params.gap_open,
-        width, ctypes.byref(res))
+        width, threads, ctypes.byref(res))
     if rc != 0:
         raise RuntimeError("compat MSA engine failed (rc=%d)" % rc)
     try:
@@ -83,11 +87,11 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
 
 def align_file(path: str, params: AlignParams = AlignParams(),
                engine: str = "compat", width: int = 10, mesh=None,
-               checkpoint_path=None) -> MsaOutput:
+               checkpoint_path=None, threads: int = 0) -> MsaOutput:
     from tsta_tpu.io import read_records
     seqs = [r.sequence for r in read_records(path)]
     return align_seqs(seqs, params, engine=engine, width=width, mesh=mesh,
-                      checkpoint_path=checkpoint_path)
+                      checkpoint_path=checkpoint_path, threads=threads)
 
 
 def write_result(out: MsaOutput, path: str) -> None:

@@ -36,7 +36,7 @@ class MsaResultStruct(ctypes.Structure):
 
 def _compile(src: str, out: str) -> None:
     cc = os.environ.get("CC", "gcc")
-    cmd = [cc] + CFLAGS + ["-o", out, src]
+    cmd = [cc] + CFLAGS + ["-o", out, src]  # keep in sync with the cache key
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError("native build failed:\n%s" % proc.stderr)
@@ -49,8 +49,12 @@ def load() -> ctypes.CDLL:
         if _LIB is not None:
             return _LIB
         src = os.path.join(_DIR, "compat_msa.c")
+        cc = os.environ.get("CC", "gcc")
+        h = hashlib.sha256()
         with open(src, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            h.update(f.read())
+        h.update(" ".join([cc] + CFLAGS).encode())  # flags are part of the key
+        digest = h.hexdigest()[:16]
         cache_dir = os.environ.get(
             "TSTA_NATIVE_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "tsta_native"))
@@ -63,7 +67,8 @@ def load() -> ctypes.CDLL:
         lib.tsta_msa_run.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(MsaResultStruct),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(MsaResultStruct),
         ]
         lib.tsta_msa_free.argtypes = [ctypes.POINTER(MsaResultStruct)]
         _LIB = lib

@@ -226,6 +226,11 @@ typedef struct {
   /* node registry for freeing */
   Node** all;
   int n_all, all_cap;
+  /* virtual boundary nodes (sub == -1): their hrow[0]/erow[0] are poked
+   * once per anti-diagonal (see round_dp) */
+  Node* inits[2];
+  int n_inits;
+  int threads; /* wavefront thread cap; 0 = OpenMP default */
 } Ctx;
 
 static Node* reg_node(Ctx* c) {
@@ -277,6 +282,7 @@ static void build_chain(Ctx* c, const char* s, int len) {
   init->in = init->out = -1;
   init->base = 'N';
   g_init_node = init;
+  c->inits[c->n_inits++] = init;
 
   Node* prev = NULL;
   for (int i = 0; i < len; i++) {
@@ -358,15 +364,9 @@ static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
 
   int pre_num = row->in;
   if (pre_num == 0) {
-    /* poke the shared init node's boundary (c-t-simd.c:176-188):
-     * keyed on tile *diagonal* 0, not column block 0 */
-    if (blk_i == 0) {
-      row->pre[0]->hrow[0] = (uint8_t)(int8_t)(O + E);
-      row->pre[0]->erow[0] = (uint8_t)(int8_t)(2 * (O + E));
-    } else {
-      row->pre[0]->hrow[0] = (uint8_t)E;
-      row->pre[0]->erow[0] = (uint8_t)(int8_t)(E + O + E);
-    }
+    /* the virtual init node's boundary bytes were poked for this
+     * diagonal by round_dp (reference pokes per tile, racily with
+     * same values: c-t-simd.c:176-188) */
     pre_num = 1;
     row->col0abs = row->blockabs[0] = E + O;
   }
@@ -799,7 +799,7 @@ static void stripe_encode(Ctx* c, const char* a, int alen) {
   free(lin);
 }
 
-static void round_dp(Ctx* c, Scratch* sc) {
+static void round_dp(Ctx* c) {
   Graph* g = &c->g;
   int L = c->L;
   c->len2 = (g->len % L) ? g->len + (L - g->len % L) : g->len;
@@ -835,8 +835,9 @@ static void round_dp(Ctx* c, Scratch* sc) {
    * own scratch. */
   int nthreads = 1;
 #ifdef _OPENMP
-  nthreads = omp_get_max_threads();
+  nthreads = c->threads > 0 ? c->threads : omp_get_max_threads();
   if (nthreads > 16) nthreads = 16;
+  if (nthreads < 1) nthreads = 1;
 #endif
   Scratch* pool = (Scratch*)calloc(nthreads, sizeof(Scratch));
   int j = 0;
@@ -847,6 +848,18 @@ static void round_dp(Ctx* c, Scratch* sc) {
       ;
     else
       j--;
+    /* boundary poke for source rows, hoisted out of the parallel loop
+     * (the value depends only on the diagonal index i) */
+    for (int t = 0; t < c->n_inits; t++) {
+      Node* ini = c->inits[t];
+      if (i == 0) {
+        ini->hrow[0] = (uint8_t)(int8_t)(c->O + c->E);
+        ini->erow[0] = (uint8_t)(int8_t)(2 * (c->O + c->E));
+      } else {
+        ini->hrow[0] = (uint8_t)c->E;
+        ini->erow[0] = (uint8_t)(int8_t)(c->E + c->O + c->E);
+      }
+    }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1) num_threads(nthreads)
 #endif
@@ -877,7 +890,6 @@ static void round_dp(Ctx* c, Scratch* sc) {
     free(s->pd); free(s->te);
   }
   free(pool);
-  (void)sc;
 }
 
 /* ------------------------------------------------------------------ */
@@ -895,7 +907,11 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
   init->sub = -1;
   init->in = -1;
   init->logo = -1;
-  /* boundary difference rows, poked per tile by row_block
+  /* replaces the previous round-local init as a poke target; the global
+   * chain-head init (inits[0]) stays */
+  c->inits[1] = init;
+  c->n_inits = 2;
+  /* boundary difference rows, poked per diagonal by round_dp
    * (c-t-simd.c:669-672) */
   init->hrow = (uint8_t*)malloc(c->L);
   init->erow = (uint8_t*)malloc(c->L);
@@ -1403,7 +1419,7 @@ static void emit_result(Ctx* c, MsaResult* out) {
 /* ------------------------------------------------------------------ */
 
 int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
-                 int e, int o, int bS, MsaResult* out) {
+                 int e, int o, int bS, int threads, MsaResult* out) {
   if (n_seq < 1 || bS < 1) return -1;
   Ctx c;
   memset(&c, 0, sizeof(c));
@@ -1415,9 +1431,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   c.W = bS;
   c.L = BB * bS;
   c.n_seq = n_seq;
-
-  Scratch sc;
-  memset(&sc, 0, sizeof(sc));
+  c.threads = threads;
 
   build_chain(&c, seqs[0], lens[0]);
 
@@ -1432,7 +1446,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   int r = 0;
   for (int i = 1; i < n_seq - 1; i++, r++) {
     stripe_encode(&c, seqs[i], lens[i]);
-    round_dp(&c, &sc);
+    round_dp(&c);
     out->add_len[r] = fuse_round(&c, seqs[i], lens[i], i,
                                  &out->last_scores[r]);
     out->graph_len[r] = c.g.len;
@@ -1441,7 +1455,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   {
     int i = n_seq - 1 > 0 ? n_seq - 1 : 0;
     stripe_encode(&c, seqs[i], lens[i]);
-    round_dp(&c, &sc);
+    round_dp(&c);
     out->add_len[r] = fuse_round(&c, seqs[i], lens[i], i,
                                  &out->last_scores[r]);
     out->graph_len[r] = c.g.len;
@@ -1471,22 +1485,6 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   free(c.g.sorted);
   free(c.g.unsorted);
   free(c.sseq);
-  for (int i = 0; i < sc.cap; i++) {
-    free(sc.f_lane[i]);
-    free(sc.vcar1[i]);
-    free(sc.vcar2[i]);
-    free(sc.lsum[i]);
-  }
-  free(sc.f_lane);
-  free(sc.vcar1);
-  free(sc.vcar2);
-  free(sc.lsum);
-  free(sc.subsc);
-  free(sc.v0);
-  free(sc.car1);
-  free(sc.car2);
-  free(sc.pd);
-  free(sc.te);
   return 0;
 }
 

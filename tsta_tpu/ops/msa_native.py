@@ -253,7 +253,6 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
             (sink_scores, packed, h_pred, e_pred, order,
              preds) = msa_longseq.round_dp(g, bytes(seq), params, mesh)
             n_real = len(seq)
-            packed = packed[:, :]
         else:
             (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
              order) = _prepare_round(g, params)

@@ -41,7 +41,7 @@ def make_mesh(data: Optional[int] = None, seq: int = 1,
     n = len(devices)
     if data is None:
         data = n // seq
-    if data * seq > n:
+    if data < 1 or seq < 1 or data * seq > n:
         raise ValueError("mesh %dx%d needs %d devices, have %d"
                          % (data, seq, data * seq, n))
     dev_array = np.asarray(devices[:data * seq]).reshape(data, seq)
