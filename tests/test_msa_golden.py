@@ -95,3 +95,24 @@ def test_variant_ring_beyond_four_bases():
     assert len(out.rows) == len(seqs)
     for row, s in zip(out.rows, seqs):
         assert row.replace(b"-", b"") == s
+
+
+def test_varying_read_lengths_across_rounds(tmp_path):
+    """Regression: reads whose padded lengths differ between rounds.
+
+    Promotion state (full-length difference rows) must reset every round
+    like the reference's toposort logo reset (topo.c:10,182); a stale
+    flag indexed buffers sized for the previous round's shorter read.
+    Verified byte-identical vs the reference binary in the differential
+    sweep; here we check self-consistency without the binary."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    # lengths straddling multiple L=160 pad boundaries, shrinking and
+    # growing between rounds
+    lens = [400, 170, 550, 90, 330]
+    common = bases[rng.integers(0, 4, 600)].tobytes()
+    seqs = [common[:ln] for ln in lens]
+    out = msa.align_seqs(seqs, AlignParams())
+    for row, s in zip(out.rows, seqs):
+        assert row.replace(b"-", b"") == s

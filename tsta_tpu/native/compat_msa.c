@@ -813,9 +813,15 @@ static void round_dp(Ctx* c) {
   }
   c->maxtag = c->len1 / L - 1;
 
-  /* (re)allocate traceback planes + block anchors per node */
+  /* (re)allocate traceback planes + block anchors per node.  Promotion
+   * state resets every round: the reference's toposort zeroes node_logo
+   * for every node (topo.c:10,182), so logo==3 never survives into the
+   * next round -- a stale flag here would index buffers sized for the
+   * previous round's (possibly shorter) padded read length. */
   for (int i = 0; i < g->len; i++) {
     Node* n = g->sorted[i];
+    n->promoted = 0;
+    n->logo = 0;
     free(n->src);
     free(n->esrc);
     free(n->fsrc);
