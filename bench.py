@@ -110,6 +110,27 @@ def main():
     except Exception as e:
         detail["psa_batch_error"] = str(e)[:200]
 
+    # --- short-read packed batch (sublane pair packing) ---------------
+    try:
+        if time_left() < 60:
+            raise RuntimeError("skipped: bench budget")
+        note("packed short-read batch (%ds left)..." % time_left())
+        rng = np.random.default_rng(9)
+        nbs, lns = 256, 2048
+        spairs = [(rng.integers(65, 69, lns).astype(np.uint8),
+                   rng.integers(65, 69, lns).astype(np.uint8))
+                  for _ in range(nbs)]
+
+        def run_packed():
+            sc, _ = psa_pallas.psa_align_batch_packed(spairs, p)
+            return sc
+
+        dt_p = time_best(run_packed, warmup=1, iters=2)
+        detail["psa_packed_gcups"] = round(nbs * lns * lns / dt_p / 1e9, 3)
+        note("packed %.2f GCUPS" % (nbs * lns * lns / dt_p / 1e9))
+    except Exception as e:
+        detail["psa_packed_error"] = str(e)[:200]
+
     gcups = 0.0
     try:
         if time_left() < 90:
@@ -174,7 +195,8 @@ def main():
     # Batch mode is the production path and amortises the per-call
     # dispatch round-trip this machine's tunneled TPU adds (~25 ms),
     # which otherwise dominates single-pair wall time.
-    primary = max(gcups, detail.get("psa_batch_gcups", 0.0))
+    primary = max(gcups, detail.get("psa_batch_gcups", 0.0),
+                  detail.get("psa_packed_gcups", 0.0))
     print(json.dumps({
         "metric": "psa_gcups_1chip",
         "value": round(primary, 3),

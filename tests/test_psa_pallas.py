@@ -46,3 +46,17 @@ def test_positive_gap_open_rejected():
         psa_pallas.psa_align_batch([(a, a)], (2, -5, -2, 8))
     with pytest.raises(ValueError):
         psa_pallas.psa_align_traced_device(a, a, (2, -5, -2, 8))
+
+
+def test_packed_batch_matches_oracle():
+    """Sublane-packed short-pair kernel: mixed sizes, many pairs."""
+    import numpy as np
+    rng = np.random.default_rng(12)
+    pairs = [(rng.integers(65, 69, int(rng.integers(20, 1400))).astype(
+        np.uint8),
+        rng.integers(65, 69, int(rng.integers(20, 900))).astype(np.uint8))
+        for _ in range(9)]
+    sc, co = psa_pallas.psa_align_batch_packed(pairs, (2, -5, -2, -4))
+    for (a, b), s, c in zip(pairs, sc, co):
+        ref = psa_scan.psa_align(a, b, (2, -5, -2, -4))
+        assert int(ref.score) == s and int(ref.last) == c

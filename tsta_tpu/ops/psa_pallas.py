@@ -386,7 +386,12 @@ def _psa_pallas_batch(a3d, brows, nm, n_pad, m_pad, params):
 def psa_align_batch(seq_pairs, params):
     """Score-only batch: list of (a, b) uint8 arrays, same bucket assumed
     externally or padded here to the common max.  Returns (scores,
-    corners) int32 arrays."""
+    corners) int32 arrays.  Short-pair buckets (<= PACK_RMAX column
+    segments) route to the sublane-packed kernel."""
+    if len(seq_pairs) >= 2:
+        n_max = max(int(a.shape[0]) for a, _ in seq_pairs)
+        if (n_max + LANES - 1) // LANES <= PACK_RMAX:
+            return psa_align_batch_packed(seq_pairs, params)
     if hasattr(params, "match"):
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
@@ -447,3 +452,192 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     plane2d = plane.reshape(m_pad, n_pad)[:m_real, :n_real]
     aln = tb.decode_pair_device(plane2d, a, b)
     return int(score[0, 0]), int(corner[0, 0]), aln
+
+
+# ---------------------------------------------------------------------
+# Packed batch kernel for SHORT pairs: P pairs share one (P*R', 128)
+# row tile along the sublane axis, so pairs with few column segments
+# still get full-width VPU ops.  The prefix-max and shift become
+# *segmented* (masks reset at pair boundaries); all masks are
+# loop-invariant.  Selected automatically by psa_align_batch for
+# buckets with R' <= PACK_RMAX.
+# ---------------------------------------------------------------------
+
+PACK_RMAX = 16   # pack pairs when a pair has <= this many 128-col segments
+PACK_SUBS = 96   # target packed sublane count
+
+
+def _packed_kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
+                   h_ref, e_ref, best_ref, last_acc_ref,
+                   *, Rp, P, params):
+    """Rp = segments per pair; P pairs per group; tile is (P*Rp, 128)."""
+    m_, x_, e_, o_ = params
+    S = P * Rp
+    gidx = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+    seg_row = sub_idx % Rp            # segment index within a pair
+    pair_row = sub_idx // Rp          # which pair a sublane belongs to
+    col_idx = seg_row * LANES + lane_idx   # per-pair local column
+    a = a_ref[0]
+
+    lane0 = lane_idx == 0
+    origin = jnp.logical_and(lane0, seg_row == 0)   # per-pair column 0
+    lane_masks = []
+    k = 1
+    while k < LANES:
+        lane_masks.append((k, lane_idx < k))
+        k *= 2
+    row_idx1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    seg_masks = []
+    k = 1
+    while k < Rp:
+        seg_masks.append((k, row_idx1 % Rp < k))
+        k *= 2
+    seg0 = row_idx1 % Rp == 0
+
+    def shift1(x, fill):
+        a1 = pltpu.roll(x, shift=1, axis=1)
+        a2 = pltpu.roll(a1, shift=1, axis=0)
+        res = jnp.where(lane0, a2, a1)
+        return jnp.where(origin, fill, res)   # seals pair boundaries too
+
+    def cummax_seg(x):
+        for k, mask in lane_masks:
+            rolled = pltpu.roll(x, shift=k, axis=1)
+            x = jnp.maximum(x, jnp.where(mask, NEG, rolled))
+        seg = x[:, LANES - 1:LANES]
+        for k, mask in seg_masks:
+            rolled = pltpu.roll(seg, shift=k, axis=0)
+            seg = jnp.maximum(seg, jnp.where(mask, NEG, rolled))
+        seg_excl = jnp.where(seg0, NEG, pltpu.roll(seg, shift=1, axis=0))
+        return jnp.maximum(x, seg_excl)
+
+    @pl.when(blk == 0)
+    def _init():
+        h_ref[:] = o_ + (col_idx + 1) * e_
+        e_ref[:] = jnp.full((S, LANES), NEG, jnp.int32)
+        best_ref[:] = jnp.full((S, LANES), NEG, jnp.int32)
+        last_acc_ref[:] = jnp.full((S, LANES), NEG, jnp.int32)
+
+    def row_body(r, _):
+        i = blk * T_R + r
+        h_prev = h_ref[:]
+        e_prev = e_ref[:]
+        # per-pair row character and last-row mask
+        bvec = jnp.zeros((S, LANES), jnp.int32)
+        lastmask = jnp.zeros((S, LANES), jnp.int32)
+        for p_ in range(P):
+            pm = pair_row == p_
+            bvec = jnp.where(pm, b_ref[r, p_], bvec)
+            is_last = i == nm_ref[gidx * P + p_, 1] - 1
+            lastmask = jnp.where(
+                pm, jnp.where(is_last, jnp.int32(1), jnp.int32(0)),
+                lastmask)
+        h_im1_m1 = jnp.where(i == 0, 0, o_ + i * e_)
+        h_i_m1 = o_ + (i + 1) * e_
+        sub = jnp.where(a == bvec, m_, x_)
+        diag = shift1(h_prev, h_im1_m1) + sub
+        e_row = jnp.maximum(e_prev + e_, h_prev + (o_ + e_))
+        c = jnp.maximum(diag, e_row)
+        g = shift1(c - col_idx * e_, h_i_m1 + e_)
+        p = cummax_seg(g)
+        f_row = o_ + col_idx * e_ + p
+        h_row = jnp.maximum(c, f_row)
+        best_ref[:] = jnp.maximum(best_ref[:], h_row)
+        h_ref[:] = h_row
+        e_ref[:] = e_row
+        last_acc_ref[:] = jnp.where(lastmask == 1, h_row,
+                                    last_acc_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, T_R, row_body, 0)
+
+    @pl.when(blk == nblk - 1)
+    def _finish():
+        best = best_ref[:]
+        last = last_acc_ref[:]
+        for p_ in range(P):
+            bslice = best[p_ * Rp:(p_ + 1) * Rp, :]
+            lslice = last[p_ * Rp:(p_ + 1) * Rp, :]
+            cslice = col_idx[p_ * Rp:(p_ + 1) * Rp, :]
+            n_real_p = nm_ref[gidx * P + p_, 0]
+            score_ref[gidx * P + p_, 0] = jnp.max(bslice)
+            corner_ref[gidx * P + p_, 0] = jnp.max(
+                jnp.where(cslice == n_real_p - 1, lslice, NEG))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "P", "params"))
+def _psa_pallas_packed(a4d, brows, nm, n_pad, m_pad, P, params):
+    """a4d: (G, P*Rp, 128) int32, brows: (G*m_pad, P), nm: (B, 2)."""
+    G = a4d.shape[0]
+    Rp = n_pad // LANES
+    S = P * Rp
+    nblk = m_pad // T_R
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, Rp=Rp, P=P, params=params),
+        grid=(G, nblk),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # nm (B, 2)
+            pl.BlockSpec((T_R, P), lambda g, i: (g * nblk + i, 0),
+                         memory_space=pltpu.SMEM),            # b rows
+            pl.BlockSpec((1, S, LANES), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # a columns
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.int32),
+        ],
+    )(nm, brows, a4d)
+
+
+def psa_align_batch_packed(seq_pairs, params):
+    """Score-only short-pair batch with sublane pair packing."""
+    if hasattr(params, "match"):
+        params = (params.match, params.mismatch, params.gap_extend,
+                  params.gap_open)
+    p = tuple(int(v) for v in params)
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0")
+    B = len(seq_pairs)
+    n_real = [int(a.shape[0]) for a, _ in seq_pairs]
+    m_real = [int(b.shape[0]) for _, b in seq_pairs]
+    n_pad = (max(n_real) + LANES - 1) // LANES * LANES
+    m_pad = (max(m_real) + T_R - 1) // T_R * T_R
+    Rp = n_pad // LANES
+    P = max(1, min(B, PACK_SUBS // Rp))
+    G = -(-B // P)
+    Bp = G * P  # batch padded to a multiple of P (last pair repeated)
+    a4d = np.full((Bp, n_pad), A_PAD, np.uint8)
+    brows = np.full((Bp, m_pad), B_PAD, np.uint8)
+    nm = np.zeros((Bp, 2), np.int32)
+    for i in range(Bp):
+        j = min(i, B - 1)
+        a, b = seq_pairs[j]
+        a4d[i, :n_real[j]] = a
+        brows[i, :m_real[j]] = b
+        nm[i] = (n_real[j], m_real[j])
+    # group g's pairs interleave along sublanes; b transposed per group
+    a4d = a4d.astype(np.int32).reshape(G, P, Rp, LANES).reshape(
+        G, P * Rp, LANES)
+    brows = brows.astype(np.int32).reshape(G, P, m_pad).transpose(
+        0, 2, 1).reshape(G * m_pad, P)
+    scores, corners = _psa_pallas_packed(
+        jnp.asarray(a4d), jnp.asarray(brows), jnp.asarray(nm), n_pad,
+        m_pad, P, p)
+    return np.asarray(scores)[:B, 0], np.asarray(corners)[:B, 0]
