@@ -21,7 +21,6 @@ import dataclasses
 from typing import List
 
 from tsta_tpu.config import AlignParams
-from tsta_tpu.io import read_fasta
 
 
 @dataclasses.dataclass

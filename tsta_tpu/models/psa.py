@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from tsta_tpu.config import AlignParams
-from tsta_tpu.io import encode_dna, read_fasta
+from tsta_tpu.io import encode_dna
 from tsta_tpu.ops import psa_scan, traceback
 
 # The reference initialises its global running max to MIN = -100

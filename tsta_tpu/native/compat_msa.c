@@ -260,8 +260,6 @@ static inline int min_tag(const Ctx* c, int n) {
 /* Graph construction from the first sequence (poa_build_init equiv)  */
 /* ------------------------------------------------------------------ */
 
-static Node* g_init_node; /* shared virtual boundary node */
-
 static void build_chain(Ctx* c, const char* s, int len) {
   Graph* g = &c->g;
   g->cap = len * 2 + 16;
@@ -281,7 +279,6 @@ static void build_chain(Ctx* c, const char* s, int len) {
   init->logo = -1;
   init->in = init->out = -1;
   init->base = 'N';
-  g_init_node = init;
   c->inits[c->n_inits++] = init;
 
   Node* prev = NULL;
