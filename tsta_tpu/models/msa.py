@@ -69,6 +69,11 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
         params.match, params.mismatch, params.gap_extend, params.gap_open,
         width, threads, ctypes.byref(res))
     if rc != 0:
+        if rc == -2:
+            raise RuntimeError(
+                "compat MSA engine: a graph node's in-degree exceeded the "
+                "engine's 64-predecessor limit (very many divergent reads); "
+                "use engine='native', which has no such limit")
         raise RuntimeError("compat MSA engine failed (rc=%d)" % rc)
     try:
         rows = [ctypes.string_at(res.msa[i]) for i in range(res.rows)]

@@ -169,10 +169,20 @@ class PoaGraph:
 
 
 def save_graph(path: str, g: PoaGraph, extra: Optional[Dict] = None) -> None:
-    """Serialise the graph to npz (CSR edges) for resume/debugging."""
+    """Serialise the graph to npz (CSR edges) for resume/debugging.
+
+    The file is written to ``path`` verbatim (np.savez would silently
+    append '.npz' otherwise, and the resume existence-check in
+    ops/msa_native.align_seqs would then never see the snapshot).
+    """
     indptr = np.cumsum([0] + [len(p) for p in g.preds])
+    with open(path, "wb") as fh:
+        _savez_to(fh, g, indptr, extra)
+
+
+def _savez_to(fh, g, indptr, extra):
     np.savez_compressed(
-        path,
+        fh,
         n_seq=g.n_seq,
         bases=np.asarray(g.bases, np.uint8),
         indptr=indptr.astype(np.int64),

@@ -21,6 +21,13 @@ CFLAGS = ["-O3", "-march=native", "-fopenmp", "-g", "-fPIC", "-shared",
           "-Wall"]
 
 
+def _all_cflags():
+    """CFLAGS + optional extras from TSTA_NATIVE_CFLAGS (space-separated);
+    extras participate in the cache key so variant builds don't collide."""
+    extra = os.environ.get("TSTA_NATIVE_CFLAGS", "").split()
+    return CFLAGS + extra
+
+
 class MsaResultStruct(ctypes.Structure):
     _fields_ = [
         ("rows", ctypes.c_int),
@@ -36,7 +43,7 @@ class MsaResultStruct(ctypes.Structure):
 
 def _compile(src: str, out: str) -> None:
     cc = os.environ.get("CC", "gcc")
-    cmd = [cc] + CFLAGS + ["-o", out, src]  # keep in sync with the cache key
+    cmd = [cc] + _all_cflags() + ["-o", out, src]  # in sync with cache key
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError("native build failed:\n%s" % proc.stderr)
@@ -53,7 +60,7 @@ def load() -> ctypes.CDLL:
         h = hashlib.sha256()
         with open(src, "rb") as f:
             h.update(f.read())
-        h.update(" ".join([cc] + CFLAGS).encode())  # flags are part of the key
+        h.update(" ".join([cc] + _all_cflags()).encode())  # flags in the key
         digest = h.hexdigest()[:16]
         cache_dir = os.environ.get(
             "TSTA_NATIVE_CACHE",

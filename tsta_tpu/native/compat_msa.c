@@ -351,8 +351,11 @@ static void scratch_ensure(Scratch* s, int cap, int L) {
 
 #define MINVAL (-120) /* reference poa.h:8 */
 
-static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
-                      int nv, Scratch* sc) {
+/* Returns 0 on success, -1 if the node's in-degree exceeds RMAX (the
+ * reference would corrupt memory here; we propagate an error instead of
+ * exit(1) so the ctypes host process survives pathological inputs). */
+static int row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
+                     int nv, Scratch* sc) {
   const int B = c->B, W = c->W, L = c->L;
   const int8_t E = c->E, O = c->O, M = c->M, X = c->X;
   const int8_t logo = -6, Logo1 = 60;
@@ -461,8 +464,12 @@ static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
   v_set1(nv_, 'N');
   v_set1(zlogo, Logo1);
 
-  /* per-pred vector registers */
-  enum { RMAX = 64 };
+  /* per-pred vector registers; TSTA_RMAX is overridable at compile time
+   * so the error path is testable without a 64-in-degree corpus */
+#ifndef TSTA_RMAX
+#define TSTA_RMAX 64
+#endif
+  enum { RMAX = TSTA_RMAX };
   /* stack-allocated (13 * 64 * 16 B = 13 KB): row_block must be
    * reentrant for the OpenMP wavefront */
   vec t_[RMAX], e_[RMAX], f_[RMAX], v_[RMAX], vc1_[RMAX], vc2_[RMAX],
@@ -470,7 +477,7 @@ static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
       q_[RMAX];
   if (pre_num > RMAX) {
     fprintf(stderr, "tsta compat: in-degree %d exceeds %d\n", pre_num, RMAX);
-    exit(1);
+    return -1;
   }
 
   /* per-lane sums of pred H-diffs over this block (c-t-simd.c:278-287) */
@@ -773,6 +780,7 @@ static void row_block(Ctx* c, int blk_i, int blk_j, int blk_l, Node* row,
       row->logo = 3;
     }
   }
+  return 0;
 }
 
 /* ------------------------------------------------------------------ */
@@ -796,7 +804,8 @@ static void stripe_encode(Ctx* c, const char* a, int alen) {
   free(lin);
 }
 
-static void round_dp(Ctx* c) {
+/* Returns 0 on success, -1 if any row_block hit the RMAX limit. */
+static int round_dp(Ctx* c) {
   Graph* g = &c->g;
   int L = c->L;
   c->len2 = (g->len % L) ? g->len + (L - g->len % L) : g->len;
@@ -843,8 +852,9 @@ static void round_dp(Ctx* c) {
   if (nthreads < 1) nthreads = 1;
 #endif
   Scratch* pool = (Scratch*)calloc(nthreads, sizeof(Scratch));
+  int err = 0; /* sticky flag; worst case several threads store 1 */
   int j = 0;
-  for (int i = 0; i < tsl; i++) {
+  for (int i = 0; i < tsl && !err; i++) {
     if (i <= c->fmaxtag)
       j++;
     else if (i <= c->lmaxtag)
@@ -876,7 +886,10 @@ static void round_dp(Ctx* c) {
       for (int r = 0; r < L; r++) {
         int a2 = a1 + r;
         if (a2 >= g->len) break;
-        row_block(c, i, j, l, g->sorted[a2], nv, &pool[tid]);
+        if (row_block(c, i, j, l, g->sorted[a2], nv, &pool[tid]) != 0) {
+          err = 1;
+          break;
+        }
       }
     }
   }
@@ -893,6 +906,7 @@ static void round_dp(Ctx* c) {
     free(s->pd); free(s->te);
   }
   free(pool);
+  return err ? -1 : 0;
 }
 
 /* ------------------------------------------------------------------ */
@@ -1447,9 +1461,13 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   /* progressive rounds (reference msa.c:130-141): reads 1..n-2 with
    * normal topo re-sort, final read with consensus scoring */
   int r = 0;
+  int rc = 0;
   for (int i = 1; i < n_seq - 1; i++, r++) {
     stripe_encode(&c, seqs[i], lens[i]);
-    round_dp(&c);
+    if (round_dp(&c) != 0) {
+      rc = -2; /* in-degree > RMAX: raise in Python, don't kill the host */
+      goto teardown;
+    }
     out->add_len[r] = fuse_round(&c, seqs[i], lens[i], i,
                                  &out->last_scores[r]);
     out->graph_len[r] = c.g.len;
@@ -1458,7 +1476,10 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   {
     int i = n_seq - 1 > 0 ? n_seq - 1 : 0;
     stripe_encode(&c, seqs[i], lens[i]);
-    round_dp(&c);
+    if (round_dp(&c) != 0) {
+      rc = -2;
+      goto teardown;
+    }
     out->add_len[r] = fuse_round(&c, seqs[i], lens[i], i,
                                  &out->last_scores[r]);
     out->graph_len[r] = c.g.len;
@@ -1467,7 +1488,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
 
   emit_result(&c, out);
 
-  /* teardown */
+teardown:
   for (int i = 0; i < c.n_all; i++) {
     Node* n = c.all[i];
     free(n->pre);
@@ -1488,7 +1509,7 @@ int tsta_msa_run(const char** seqs, const int* lens, int n_seq, int m, int x,
   free(c.g.sorted);
   free(c.g.unsorted);
   free(c.sseq);
-  return 0;
+  return rc;
 }
 
 void tsta_msa_free(MsaResult* out) {

@@ -165,6 +165,12 @@ def psa_align(a: np.ndarray, b: np.ndarray, params, traced: bool = False
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
     p = tuple(int(v) for v in params)
+    if p[3] > 0 or p[2] > 0:
+        # the closed-form F (cummax over C(k) - k*e) assumes re-opening a
+        # gap from inside a gap never wins, which requires gap_open <= 0;
+        # positive gap_extend additionally breaks the bucketed padding.
+        raise ValueError("scan kernel requires gap_open <= 0 and "
+                         "gap_extend <= 0 (got O=%d E=%d)" % (p[3], p[2]))
     a = np.asarray(a, dtype=np.uint8)
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])

@@ -84,6 +84,10 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
 
     results: List[Optional[psa_scan.PsaResult]] = [None] * len(prepped)
     if kernel == "pallas":
+        if traced:
+            raise ValueError("kernel='pallas' is score-only in batch mode;"
+                             " use kernel='scan' (or 'auto') for traced"
+                             " batches")
         from tsta_tpu.ops import psa_pallas
         for (n, m), idxs in buckets.items():
             bucket_pairs = [prepped[i] for i in idxs]
