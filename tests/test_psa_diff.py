@@ -1,0 +1,101 @@
+"""int16 difference kernel (ops/psa_diff.py) vs the scan oracle.
+
+Interpret mode on CPU; real-TPU throughput and exactness are recorded by
+bench.py.  Covers: multiple packed groups, pairs spanning several grid
+blocks and re-anchor intervals, similar sequences (positive score drift),
+parameter sets at the exactness bound, and the routing in
+psa_pallas.psa_align_batch.
+"""
+
+import numpy as np
+import pytest
+
+from tsta_tpu.ops import psa_diff, psa_pallas, psa_scan
+
+P0 = (2, -5, -2, -4)
+
+
+def _rnd(rng, n):
+    return rng.integers(65, 69, n).astype(np.uint8)
+
+
+@pytest.mark.parametrize("use_int16", [False, True])
+@pytest.mark.parametrize("params", [
+    P0, (1, -1, -1, 0), (5, -4, -1, -6), (24, -24, -24, -24),
+    (3, -2, -11, -50), (2, -72, -2, -4),
+])
+def test_diff_matches_oracle(params, use_int16):
+    rng = np.random.default_rng(sum(abs(v) for v in params))
+    pairs = [(_rnd(rng, int(rng.integers(5, 700))),
+              _rnd(rng, int(rng.integers(5, 700)))) for _ in range(5)]
+    sc, co = psa_diff.psa_align_batch_diff(pairs, params,
+                                           use_int16=use_int16)
+    for (a, b), s, c in zip(pairs, sc, co):
+        ref = psa_scan.psa_align(a, b, params)
+        assert int(ref.score) == s
+        assert int(ref.last) == c
+
+
+def test_diff_similar_sequences_cross_block():
+    """Similar pairs (scores drift upward) long enough to cross the
+    T_R=256 grid block and many re-anchor intervals."""
+    rng = np.random.default_rng(5)
+    params = P0
+    for _ in range(3):
+        n = int(rng.integers(600, 1500))
+        a = _rnd(rng, n)
+        b = a.copy()
+        idx = rng.integers(0, n, max(1, n // 25))
+        b[idx] = _rnd(rng, len(idx))
+        b = np.delete(b, rng.integers(0, len(b), n // 40))
+        sc, co = psa_diff.psa_align_batch_diff([(a, b)], params)
+        ref = psa_scan.psa_align(a, b, params)
+        assert int(ref.score) == sc[0]
+        assert int(ref.last) == co[0]
+
+
+def test_diff_uneven_1k_pair():
+    rng = np.random.default_rng(0)
+    a, b = _rnd(rng, 1024), _rnd(rng, 1000)
+    sc, co = psa_diff.psa_align_batch_diff([(a, b)], P0)
+    ref = psa_scan.psa_align(a, b, P0)
+    assert (int(ref.score), int(ref.last)) == (sc[0], co[0])
+
+
+def test_supports_params_gate():
+    assert psa_diff.supports_params(P0)
+    assert psa_diff.supports_params((24, -24, -24, -24))
+    assert psa_diff.supports_params((100, -100, -60, -60))  # int32 ok
+    assert not psa_diff.supports_params((2, -5, -2, 4))    # O > 0
+    assert not psa_diff.supports_params((2, -5, 2, -4))    # E > 0
+    assert psa_diff.supports_params_int16(P0)
+    # int16 exactness bound D <= 72
+    assert not psa_diff.supports_params_int16((100, -100, -60, -60))
+    a = np.frombuffer(b"ACGTAC", np.uint8)
+    with pytest.raises(ValueError):
+        psa_diff.psa_align_batch_diff([(a, a)], (2, -5, -2, 4))
+    with pytest.raises(ValueError):
+        psa_diff.psa_align_batch_diff([(a, a)], (100, -100, -60, -60),
+                                      use_int16=True)
+
+
+def test_batch_routing_uses_diff_kernel(monkeypatch):
+    """psa_align_batch routes to the difference kernel for sane params
+    and falls back to int32 when TSTA_NO_DIFF_KERNEL is set; both give
+    identical results."""
+    rng = np.random.default_rng(11)
+    pairs = [(_rnd(rng, 300), _rnd(rng, 280)) for _ in range(3)]
+    called = {}
+    orig = psa_diff.psa_align_batch_diff
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(psa_diff, "psa_align_batch_diff", spy)
+    sc1, co1 = psa_pallas.psa_align_batch(pairs, P0)
+    assert called.get("yes")
+    monkeypatch.setenv("TSTA_NO_DIFF_KERNEL", "1")
+    sc2, co2 = psa_pallas.psa_align_batch(pairs, P0)
+    assert np.array_equal(sc1, sc2)
+    assert np.array_equal(co1, co2)

@@ -1,0 +1,510 @@
+"""Packed difference-method Pallas PSA kernels (any pair length).
+
+This module carries the reference's headline acceleration idea #2 -- the
+*difference method* (store small score differences instead of 32-bit
+absolutes so more cells fit per vector; /root/reference/psa/psa.c:110-112
+int8 state, hot loop psa.c:284-354, int32 anchors ``r_temp``/``real``
+psa.c:330-357) -- redesigned for the TPU VPU instead of transliterated.
+Two kernels share one packed layout and host preparation:
+
+* ``_abs_kernel`` (int32, **the production TPU path**): absolute int32
+  arithmetic, with **P pairs packed along the sublane axis for any
+  segment count** (round 1 packed only short pairs), amortising the
+  fixed Mosaic per-op cost over P pairs, and a restructured row body
+  (the diagonal/F shift-ins ride an extracted lane-127 column on cheap
+  ``(S, 1)`` ops instead of a second full-width roll+mask pass).
+* ``_diff_kernel`` (int16, segment-anchored): the difference method
+  proper -- the row frontier H/E held as int16 offsets from per-segment
+  int32 anchors (the analog of the reference's sparse ``real`` anchors),
+  halving vector registers per op; anchors re-based every ``K_REANCHOR``
+  rows.  **Blocked on current hardware toolchain**: Mosaic on this
+  jaxlib/libtpu lowers no 16-bit ordered comparisons, maxima, rotates or
+  reductions (probed empirically; rotates are worked around via the
+  sublane-packed int16<->int32 bitcast, reductions and compares by
+  widening, but ``jnp.maximum`` on int16 has no workaround that does not
+  erase the density win).  The kernel is kept exact and interpret-tested
+  so it can be enabled the day the toolchain supports 16-bit max
+  (``use_int16=True`` / TSTA_DIFF_INT16=1).
+
+int16 exactness analysis (for the day it unblocks): with
+``D = max(M, -X, -(O+E), -E)``, adjacent-column H differences lie in
+``[-D, 2D]`` and per-row drift of a fixed column in ``[-D, 2D]``, so
+between re-anchors (every 16 rows) offsets stay within
+``[-145*D, 286*D]`` and the largest intermediate -- the ``C - l*e``
+prefix argument -- within ``413*D``: int16 is *exact* (not saturating,
+unlike the reference's int8) whenever ``D <= 72``.  The guard value
+``-160*D`` sits strictly below every real value yet cannot wrap when
+``o + l*e`` is added.  ``supports_params`` gates on ``D``; callers fall
+back to the int32 kernels for exotic parameters.
+
+Both kernels use the closed-form F of ops/psa_scan.py (cummax over
+``C(k) - k*e``; needs O<=0) and reproduce the reference's scoring
+semantics: reported score = max over all H cells (psa.c:330-357,
+416-424), corner = H(m-1, n-1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tsta_tpu.ops.psa_scan import A_PAD, B_PAD
+
+LANES = 128
+T_R = 256        # rows per grid step
+K_REANCHOR = 16  # rows between anchor re-bases (must divide T_R)
+NEG32 = -(2 ** 28)
+S_TARGET = 384   # target packed sublane count per group
+
+
+def _delta_bound(p):
+    """D: bound on adjacent-column H differences for params p."""
+    m_, x_, e_, o_ = p
+    return max(m_, -x_, -(o_ + e_), -e_, 1)
+
+
+def _as_tuple(params):
+    if hasattr(params, "match"):
+        params = (params.match, params.mismatch, params.gap_extend,
+                  params.gap_open)
+    return tuple(int(v) for v in params)
+
+
+def supports_params(params) -> bool:
+    """True when the packed kernels handle ``params`` (sane signs; the
+    bucketed padding and closed-form F preconditions, as psa_pallas)."""
+    p = _as_tuple(params)
+    return not (p[1] >= 0 or p[2] >= 0 or p[3] > 0 or p[0] <= 0)
+
+
+def supports_params_int16(params) -> bool:
+    """True when the int16 offsets are additionally provably exact."""
+    p = _as_tuple(params)
+    return supports_params(p) and _delta_bound(p) <= 72
+
+
+def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
+                 score_ref, corner_ref,
+                 h_ref, e_ref, best_ref, al_ref, best32_ref, corner32_ref,
+                 *, Rp, P, params, neg16):
+    """Grid (G, nblk); tile (S, LANES) int16 packs P pairs x Rp segments."""
+    m_, x_, e_, o_ = params
+    S = P * Rp
+    gidx = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+
+    i16 = jnp.int16
+    m16, x16 = i16(m_), i16(x_)
+    e16c, oe16c = i16(e_), i16(o_ + e_)
+    NEG16 = i16(neg16)
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    lane0m = lane_idx == 0
+    lane_lt = {}
+    k = 1
+    while k < LANES:
+        lane_lt[k] = lane_idx < k
+        k *= 2
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    seg_row1 = row1 % Rp
+    seg0v = seg_row1 == 0
+    pair_masks = [row1 // Rp == p_ for p_ in range(P)]
+    seg_lt = {}
+    k = 1
+    while k < Rp:
+        seg_lt[k] = seg_row1 < k
+        k *= 2
+    laneE16 = (lane_idx * e_).astype(i16)          # l*e per lane
+    oLaneE16 = (o_ + lane_idx * e_).astype(i16)    # o + l*e
+
+    def roll16(x, k):
+        # Mosaic's rotate only handles 32-bit data; lane rotation
+        # commutes with the sublane-packed int16<->int32 bitcast.
+        x32 = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(x32, shift=k, axis=1), i16)
+    segoff32 = seg_row1 * (LANES * e_)             # seg*128*e per sublane
+    # a-chars and corner mask stay int32: Mosaic's 16-bit vector support
+    # on this target lacks comparisons (and reductions/rotates) -- every
+    # compare runs at int32 and only the arithmetic core is int16.
+    a32 = a_ref[:]
+    cmask = cmask_ref[:]
+    mlast = mlast_ref[:]
+    # which sublanes hold their pair's corner column (rel NEG16 is only
+    # "-inf" within one segment; adding alpha would otherwise let empty
+    # segments with high anchors beat the real corner)
+    has_corner = jnp.max(cmask, axis=1, keepdims=True) > 0
+
+    @pl.when(blk == 0)
+    def _init():
+        # anchor = H(-1, seg*128) = o + (seg*128 + 1)*e  =>  h16 = l*e
+        al_ref[:] = o_ + (seg_row1 * LANES + 1) * e_
+        h_ref[:] = laneE16
+        e_ref[:] = jnp.full((S, LANES), NEG16, i16)
+        best_ref[:] = jnp.full((S, LANES), NEG16, i16)
+        best32_ref[:] = jnp.full((S, 1), NEG32, jnp.int32)
+        corner32_ref[:] = jnp.full((S, 1), NEG32, jnp.int32)
+
+    def row_body(r, _):
+        i = blk * T_R + r  # global row
+        h16 = h_ref[:]
+        e16 = e_ref[:]
+        alpha = al_ref[:]                           # (S,1) int32
+
+        # per-sublane row char from SMEM scalars (scalar splats are cheap;
+        # Mosaic cannot do unaligned dynamic lane slices of a VMEM tile)
+        bv = jnp.zeros((S, 1), jnp.int32)
+        for p_ in range(P):
+            bv = jnp.where(pair_masks[p_], b_ref[r, p_], bv)
+        sub = jnp.where(a32 == bv, m16, x16)
+
+        # boundary absolutes for this row (int32 scalars)
+        bound_prev = jnp.where(i == 0, 0, o_ + i * e_)   # H(i-1, -1)
+        bound_cur = o_ + (i + 1) * e_                    # H(i, -1)
+
+        # diagonal shift-in value for lane 0 of every sublane:
+        #   seg 0   -> H(i-1, -1);  seg r>0 -> H(i-1, seg_start-1)
+        h_last32 = h16[:, LANES - 1:LANES].astype(jnp.int32) + alpha
+        prev_abs = pltpu.roll(h_last32, shift=1, axis=0)
+        lane0v = (jnp.where(seg0v, bound_prev, prev_abs)
+                  - alpha).astype(i16)               # (S,1) rel current seg
+        a1 = roll16(h16, 1)
+        shifted = jnp.where(lane0m, lane0v, a1)
+        diag = shifted + sub
+
+        e_new = jnp.maximum(e16 + e16c, h16 + oe16c)
+        c = jnp.maximum(diag, e_new)
+
+        # closed-form F: exclusive segmented prefix max of y = c - l*e
+        y = c - laneE16
+        p = jnp.where(lane0m, NEG16, roll16(y, 1))
+        k = 1
+        while k < LANES:
+            p = jnp.maximum(
+                p, jnp.where(lane_lt[k], NEG16, roll16(p, k)))
+            k *= 2
+        # cross-segment carry in int32 anchor space:
+        #   T[s] = max_l (C - l*e) + beta,  beta = alpha - seg*128*e
+        beta = alpha - segoff32
+        ymax = jnp.maximum(p[:, LANES - 1:LANES],
+                           y[:, LANES - 1:LANES]).astype(jnp.int32)
+        T = ymax + beta
+        cy = jnp.where(seg0v, bound_cur + e_,
+                       pltpu.roll(T, shift=1, axis=0))
+        k = 1
+        while k < Rp:
+            cy = jnp.maximum(
+                cy, jnp.where(seg_lt[k], NEG32,
+                              pltpu.roll(cy, shift=k, axis=0)))
+            k *= 2
+        carry_rel = jnp.clip(cy - beta, neg16, 32767).astype(i16)
+        comb = jnp.maximum(p, carry_rel)
+        f = oLaneE16 + comb
+        h_new = jnp.maximum(c, f)
+
+        best_ref[:] = jnp.maximum(best_ref[:], h_new)
+
+        @pl.when(flag_ref[r, 0] != 0)
+        def _corner():
+            tmp = jnp.where(cmask != 0, h_new.astype(jnp.int32), NEG32)
+            segc = jnp.max(tmp, axis=1, keepdims=True)
+            upd = jnp.logical_and(i == mlast, has_corner)
+            corner32_ref[:] = jnp.where(upd, segc + alpha,
+                                        corner32_ref[:])
+
+        @pl.when(r % K_REANCHOR == K_REANCHOR - 1)
+        def _rebase():
+            delta = h_new[:, 0:1]
+            h_ref[:] = h_new - delta
+            e_ref[:] = e_new - delta
+            al_ref[:] = alpha + delta.astype(jnp.int32)
+            bseg = jnp.max(best_ref[:].astype(jnp.int32), axis=1,
+                           keepdims=True)
+            best32_ref[:] = jnp.maximum(best32_ref[:], bseg + alpha)
+            best_ref[:] = jnp.full((S, LANES), NEG16, i16)
+
+        @pl.when(r % K_REANCHOR != K_REANCHOR - 1)
+        def _keep():
+            h_ref[:] = h_new
+            e_ref[:] = e_new
+        return 0
+
+    jax.lax.fori_loop(0, T_R, row_body, 0)
+
+    @pl.when(blk == nblk - 1)
+    def _finish():
+        best32 = best32_ref[:]
+        corner32 = corner32_ref[:]
+        for p_ in range(P):
+            sl = slice(p_ * Rp, (p_ + 1) * Rp)
+            score_ref[gidx * P + p_, 0] = jnp.max(best32[sl, 0])
+            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+
+
+def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
+                score_ref, corner_ref,
+                h_ref, e_ref, best_ref, corner32_ref,
+                *, Rp, P, params):
+    """int32 absolute-value variant: same packed layout as _diff_kernel,
+    no anchors.  Production TPU path (see module docstring).
+
+    Microbenchmark-driven structure (cal3, r2): at (S,128) int32,
+    cross-lane ops (lane rolls ~72 ns, lane extracts ~77 ns) dominate;
+    sublane rolls, selects and arithmetic are ~3-5 ns, and fori_loop
+    carries stay register-resident.  Hence: H/E/best ride the loop carry
+    (scratch refs touched only at grid-step boundaries), every shift-in
+    uses a sublane roll + select rather than a lane extract, and the one
+    unavoidable cross-lane structure is the 8-roll lane prefix for F.
+    """
+    m_, x_, e_, o_ = params
+    S = P * Rp
+    gidx = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    lane0m = lane_idx == 0
+    lane_lt = {}
+    k = 1
+    while k < LANES:
+        lane_lt[k] = lane_idx < k
+        k *= 2
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    seg_row1 = row1 % Rp
+    seg0v = seg_row1 == 0
+    origin = jnp.logical_and(lane0m, seg0v)   # per-pair column 0
+    pair_masks = [row1 // Rp == p_ for p_ in range(P)]
+    seg_lt = {}
+    k = 1
+    while k < Rp:
+        seg_lt[k] = seg_row1 < k
+        k *= 2
+    col_idx = seg_row1 * LANES + lane_idx     # per-pair linear column
+    colE = col_idx * e_
+    oColE = o_ + colE
+    a32 = a_ref[:]
+    cmask = cmask_ref[:]
+    mlast = mlast_ref[:]
+    has_corner = jnp.max(cmask, axis=1, keepdims=True) > 0
+
+    @pl.when(blk == 0)
+    def _init():
+        h_ref[:] = o_ + (col_idx + 1) * e_        # H(-1, col)
+        e_ref[:] = jnp.full((S, LANES), NEG32, jnp.int32)
+        best_ref[:] = jnp.full((S, LANES), NEG32, jnp.int32)
+        corner32_ref[:] = jnp.full((S, 1), NEG32, jnp.int32)
+
+    def shift1(x, fill):
+        """Linearised per-pair shift by one column; pair starts get
+        ``fill``.  One lane roll + one (cheap) sublane roll + 2 selects."""
+        a1 = pltpu.roll(x, shift=1, axis=1)
+        a2 = pltpu.roll(a1, shift=1, axis=0)
+        res = jnp.where(lane0m, a2, a1)
+        return jnp.where(origin, fill, res)
+
+    def row_body(r, carry):
+        h_prev, e_prev, best = carry
+        i = blk * T_R + r
+
+        bv = jnp.zeros((S, 1), jnp.int32)
+        for p_ in range(P):
+            bv = jnp.where(pair_masks[p_], b_ref[r, p_], bv)
+        sub = jnp.where(a32 == bv, m_, x_)
+
+        bound_prev = jnp.where(i == 0, 0, o_ + i * e_)   # H(i-1, -1)
+        bound_cur = o_ + (i + 1) * e_                    # H(i, -1)
+
+        diag = shift1(h_prev, bound_prev) + sub
+        e_row = jnp.maximum(e_prev + e_, h_prev + (o_ + e_))
+        c = jnp.maximum(diag, e_row)
+
+        # closed-form F: exclusive per-pair prefix max of y = C - col*e,
+        # seeded with the boundary term H(i,-1) + e at column 0
+        y = c - colE
+        p = shift1(y, bound_cur + e_)
+        k = 1
+        while k < LANES:
+            p = jnp.maximum(
+                p, jnp.where(lane_lt[k], NEG32,
+                             pltpu.roll(p, shift=k, axis=1)))
+            k *= 2
+        # cross-segment phase: t = max(p, y) is the *inclusive* in-segment
+        # prefix, so t[:,127] holds each segment's max (seed included for
+        # the pair's first segment); propagate maxima down sublanes with
+        # cheap sublane rolls, then read the carry from lane 127.
+        t = jnp.maximum(p, y)
+        k = 1
+        while k < Rp:
+            rolled = pltpu.roll(t, shift=k, axis=0)
+            t = jnp.maximum(t, jnp.where(seg_lt[k], NEG32, rolled))
+            k *= 2
+        # t[s,127] = max over segments <= s (same pair) of their maxima;
+        # shift down one segment and broadcast to get the exclusive carry
+        cyt = pltpu.roll(t, shift=1, axis=0)
+        carry_seg = jnp.where(seg0v, NEG32, cyt[:, LANES - 1:LANES])
+        f = oColE + jnp.maximum(p, carry_seg)
+        h_row = jnp.maximum(c, f)
+
+        best = jnp.maximum(best, h_row)
+
+        @pl.when(flag_ref[r, 0] != 0)
+        def _corner():
+            tmp = jnp.where(cmask != 0, h_row, NEG32)
+            segc = jnp.max(tmp, axis=1, keepdims=True)
+            upd = jnp.logical_and(i == mlast, has_corner)
+            corner32_ref[:] = jnp.where(upd, segc, corner32_ref[:])
+
+        return h_row, e_row, best
+
+    h_fin, e_fin, best_fin = jax.lax.fori_loop(
+        0, T_R, row_body, (h_ref[:], e_ref[:], best_ref[:]))
+    h_ref[:] = h_fin
+    e_ref[:] = e_fin
+    best_ref[:] = best_fin
+
+    @pl.when(blk == nblk - 1)
+    def _finish():
+        best = best_ref[:]
+        corner32 = corner32_ref[:]
+        for p_ in range(P):
+            sl = slice(p_ * Rp, (p_ + 1) * Rp)
+            score_ref[gidx * P + p_, 0] = jnp.max(best[sl])
+            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "P", "params",
+                                    "use_int16"))
+def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
+                   use_int16=False):
+    """a32:(G*S,128)i32  brows:(G*m_pad,P)i32  cmask:(G*S,128)i32
+    mlast:(G*S,1)i32  flags:(G*nblk*T_R,1)i32."""
+    Rp = n_pad // LANES
+    S = P * Rp
+    G = a32.shape[0] // S
+    nblk = m_pad // T_R
+    if use_int16:
+        neg16 = -160 * _delta_bound(params)
+        kernel = functools.partial(_diff_kernel, Rp=Rp, P=P, params=params,
+                                   neg16=neg16)
+        scratch = [
+            pltpu.VMEM((S, LANES), jnp.int16),   # H frontier (rel anchor)
+            pltpu.VMEM((S, LANES), jnp.int16),   # E frontier
+            pltpu.VMEM((S, LANES), jnp.int16),   # best accumulator
+            pltpu.VMEM((S, 1), jnp.int32),       # anchors
+            pltpu.VMEM((S, 1), jnp.int32),       # best (absolute)
+            pltpu.VMEM((S, 1), jnp.int32),       # corner (absolute)
+        ]
+    else:
+        kernel = functools.partial(_abs_kernel, Rp=Rp, P=P, params=params)
+        scratch = [
+            pltpu.VMEM((S, LANES), jnp.int32),   # H frontier
+            pltpu.VMEM((S, LANES), jnp.int32),   # E frontier
+            pltpu.VMEM((S, LANES), jnp.int32),   # best accumulator
+            pltpu.VMEM((S, 1), jnp.int32),       # corner
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=(G, nblk),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((T_R, P), lambda g, i: (g * nblk + i, 0),
+                         memory_space=pltpu.SMEM),     # per-pair row chars
+            pl.BlockSpec((S, LANES), lambda g, i: (g, 0),
+                         memory_space=pltpu.VMEM),     # a chars
+            pl.BlockSpec((S, LANES), lambda g, i: (g, 0),
+                         memory_space=pltpu.VMEM),     # corner-lane mask
+            pl.BlockSpec((S, 1), lambda g, i: (g, 0),
+                         memory_space=pltpu.VMEM),     # m_real-1 per sublane
+            pl.BlockSpec((T_R, 1), lambda g, i: (g * nblk + i, 0),
+                         memory_space=pltpu.SMEM),     # corner-row flags
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),   # scores
+            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),   # corners
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=scratch,
+    )(brows, a32, cmask, mlast, flags)
+
+
+def psa_align_batch_diff(seq_pairs, params, use_int16=None):
+    """Score-only batch via the packed kernels (any pair length).
+
+    Pairs are assumed length-bucketed by the caller (padded here to the
+    bucket max).  Returns (scores, corners) int32 arrays in input order.
+
+    ``use_int16`` selects the int16 difference kernel (exact for
+    parameter bound D <= 72, but blocked on the current TPU toolchain --
+    see module docstring); default is the int32 packed kernel.  The env
+    var TSTA_DIFF_INT16=1 flips the default for future toolchains.
+    """
+    import os
+    if use_int16 is None:
+        use_int16 = bool(os.environ.get("TSTA_DIFF_INT16"))
+    p = _as_tuple(params)
+    if not supports_params(p):
+        raise ValueError("packed kernel requires M>0>X, E<0, O<=0 "
+                         "(got %s)" % (p,))
+    if use_int16 and not supports_params_int16(p):
+        raise ValueError("int16 difference kernel additionally requires "
+                         "max(M,-X,-(O+E),-E) <= 72 (got %s)" % (p,))
+    B = len(seq_pairs)
+    n_real = [int(a.shape[0]) for a, _ in seq_pairs]
+    m_real = [int(b.shape[0]) for _, b in seq_pairs]
+    n_pad = (max(n_real) + LANES - 1) // LANES * LANES
+    m_pad = (max(m_real) + T_R - 1) // T_R * T_R
+    Rp = n_pad // LANES
+    P = max(1, min(B, 16, S_TARGET // Rp if Rp <= S_TARGET else 1))
+    if use_int16 and (P * Rp) % 2:
+        # the int16 bitcast-roll needs an even sublane count
+        n_pad += LANES
+        Rp += 1
+    G = -(-B // P)
+    Bp = G * P                     # pad batch by repeating the last pair
+    S = P * Rp
+    nblk = m_pad // T_R
+
+    a2d = np.full((Bp, n_pad), A_PAD, np.uint8)
+    brows = np.full((Bp, m_pad), B_PAD, np.uint8)
+    nm = np.zeros((Bp, 2), np.int32)
+    for i in range(Bp):
+        j = min(i, B - 1)
+        a, b = seq_pairs[j]
+        a2d[i, :n_real[j]] = a
+        brows[i, :m_real[j]] = b
+        nm[i] = (n_real[j], m_real[j])
+
+    # pack along sublanes: group g rows [p*Rp, (p+1)*Rp) hold pair g*P+p
+    a32 = a2d.astype(np.int32).reshape(G, P * Rp, LANES).reshape(
+        G * S, LANES)
+    # per-row chars, transposed per group for SMEM scalar reads
+    brows = brows.astype(np.int32).reshape(G, P, m_pad).transpose(
+        0, 2, 1).reshape(G * m_pad, P)
+    # corner-lane mask (1 at per-pair column n_real-1)
+    col = np.arange(n_pad, dtype=np.int32).reshape(Rp, LANES)
+    cmask = np.zeros((Bp, Rp, LANES), np.int32)
+    for i in range(Bp):
+        cmask[i] = (col == nm[i, 0] - 1)
+    cmask = cmask.reshape(G * S, LANES)
+    mlast = np.repeat((nm[:, 1] - 1).astype(np.int32), Rp).reshape(
+        G * S, 1)
+    # per-row corner flags (any packed pair ends at this row)
+    flags = np.zeros((G, m_pad), np.int32)
+    for i in range(Bp):
+        flags[i // P, nm[i, 1] - 1] = 1
+    flags = flags.reshape(G * nblk * T_R, 1)
+
+    scores, corners = _psa_diff_call(
+        jnp.asarray(a32), jnp.asarray(brows), jnp.asarray(cmask),
+        jnp.asarray(mlast), jnp.asarray(flags), n_pad, m_pad, P, p,
+        use_int16)
+    return np.asarray(scores)[:B, 0], np.asarray(corners)[:B, 0]

@@ -386,8 +386,19 @@ def _psa_pallas_batch(a3d, brows, nm, n_pad, m_pad, params):
 def psa_align_batch(seq_pairs, params):
     """Score-only batch: list of (a, b) uint8 arrays, same bucket assumed
     externally or padded here to the common max.  Returns (scores,
-    corners) int32 arrays.  Short-pair buckets (<= PACK_RMAX column
-    segments) route to the sublane-packed kernel."""
+    corners) int32 arrays.
+
+    Routing: the int16 difference kernel (ops/psa_diff.py) handles every
+    bucket when the parameters are within its exactness bound (always,
+    for realistic scoring); the int32 kernels below remain as the
+    fallback for exotic parameters and as differential-test oracles.
+    Set TSTA_NO_DIFF_KERNEL=1 to force the int32 path."""
+    import os
+
+    from tsta_tpu.ops import psa_diff
+    if (not os.environ.get("TSTA_NO_DIFF_KERNEL")
+            and psa_diff.supports_params(params)):
+        return psa_diff.psa_align_batch_diff(seq_pairs, params)
     if len(seq_pairs) >= 2:
         n_max = max(int(a.shape[0]) for a, _ in seq_pairs)
         if (n_max + LANES - 1) // LANES <= PACK_RMAX:
