@@ -63,10 +63,12 @@ def test_scan_rejects_positive_gap_open():
         psa_scan.psa_align(a, a, (2, -5, -2, 4))
 
 
-def test_scan_rejects_positive_gap_extend():
+def test_batch_rejects_pad_unsafe_params():
+    """Padded batching is score-neutral only for sane signs; exotic
+    (but exactly-supported) sets must route to the unpadded scan."""
     a = np.frombuffer(b"ACGTACGT", np.uint8)
-    with pytest.raises(ValueError, match="gap_extend"):
-        psa_scan.psa_align(a, a, (2, -5, 2, -4))
+    with pytest.raises(ValueError, match="batch"):
+        pbatch.align_batch([(a, a)], AlignParams(mismatch=3))
 
 
 def test_batch_pallas_traced_raises():

@@ -1,0 +1,118 @@
+"""Pallas POA round kernel (ops/msa_pallas.py) vs the per-node scan
+engine, interpret mode on CPU.  Sink scores, traceback walks, and whole
+progressive runs must agree exactly (both engines implement the same
+exact-int32 recurrence with identical tie-breaking)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tsta_tpu.config import AlignParams
+from tsta_tpu.models.poa_graph import PoaGraph
+from tsta_tpu.ops import msa_native, msa_pallas
+from tsta_tpu.ops.msa_native import (_fuse, _merge, _prepare_round,
+                                     _round_dp, _walk_host)
+from tsta_tpu.ops.psa_scan import bucket
+
+
+def _mutate(rng, base, div):
+    b = bytearray(base)
+    for i in rng.integers(0, len(b), max(1, int(len(b) * div))):
+        b[i] = b"ACGT"[rng.integers(0, 4)]
+    for _ in range(max(1, int(len(b) * div / 8))):
+        j = int(rng.integers(0, len(b) - 2))
+        del b[j]
+    return bytes(b)
+
+
+def _scan_round(g, seq, params):
+    import jax.numpy as jnp
+    p = (params.match, params.mismatch, params.gap_extend,
+         params.gap_open)
+    (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
+     order) = _prepare_round(g, params)
+    n_real = len(seq)
+    n = bucket(n_real)
+    a = np.zeros((n,), np.uint8)
+    a[:n_real] = np.frombuffer(seq, np.uint8)
+    ss, packed, hp, ep = _round_dp(
+        jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
+        jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
+        jnp.int32(n_real), p, N, n, max_in)
+    return (np.asarray(ss), np.asarray(packed), np.asarray(hp),
+            np.asarray(ep), preds, order, N_real)
+
+
+def _grown_graph(rng, n_reads=3, ln=120, div=0.1):
+    base = bytes(rng.choice(list(b"ACGT"), ln))
+    seqs = [_mutate(rng, base, div) for _ in range(n_reads)]
+    g = PoaGraph.from_sequence(seqs[0], n_reads + 1)
+    params = AlignParams()
+    for s_no in range(1, n_reads):
+        ss, packed, hp, ep, preds, order, N_real = _scan_round(
+            g, seqs[s_no], params)
+        sinks = set(g.sinks())
+        rows = [i for i, v in enumerate(order) if v in sinks]
+        best = max(rows, key=lambda i: ss[i])
+        _fuse(g, seqs[s_no], s_no, order, packed, hp, ep, preds, best)
+        g.toposort()
+    return g, seqs, params
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_poa_kernel_round_matches_scan(seed):
+    rng = np.random.default_rng(seed)
+    g, seqs, params = _grown_graph(rng, n_reads=3,
+                                   ln=100 + 60 * seed, div=0.1)
+    new = _mutate(rng, seqs[0], 0.12)
+
+    ss1, packed, hp, ep, preds, order, N_real = _scan_round(
+        g, new, params)
+    ss2, align_of, order2, preds2 = msa_pallas.round_dp(g, new, params)
+
+    assert order == order2
+    assert np.array_equal(ss1[:N_real], ss2)
+
+    sinks = set(g.sinks())
+    rows = [i for i, v in enumerate(order) if v in sinks]
+    best = max(rows, key=lambda i: ss1[i])
+    walk1 = _walk_host(packed, hp, ep, preds, best, len(new))
+    walk2 = align_of(best)
+    assert np.array_equal(walk1, walk2)
+
+
+def test_align_seqs_poa_engine_matches_scan(monkeypatch):
+    rng = np.random.default_rng(7)
+    base = bytes(rng.choice(list(b"ACGT"), 150))
+    seqs = [_mutate(rng, base, 0.08) for _ in range(4)]
+
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "scan")
+    out1 = msa_native.align_seqs(seqs, AlignParams())
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    out2 = msa_native.align_seqs(seqs, AlignParams())
+
+    assert out1.round_scores == out2.round_scores
+    assert out1.graph_len == out2.graph_len
+    assert out1.rows == out2.rows
+    assert out1.consensus == out2.consensus
+
+
+def test_walk_host_merge_refactor_roundtrip():
+    """_fuse == _walk_host + _merge (refactor regression)."""
+    rng = np.random.default_rng(3)
+    g, seqs, params = _grown_graph(rng, n_reads=2, ln=90, div=0.1)
+    new = _mutate(rng, seqs[0], 0.1)
+    ss, packed, hp, ep, preds, order, N_real = _scan_round(
+        g, new, params)
+    sinks = set(g.sinks())
+    rows = [i for i, v in enumerate(order) if v in sinks]
+    best = max(rows, key=lambda i: ss[i])
+    import copy
+    g2 = copy.deepcopy(g)
+    a1 = _fuse(g, new, 2, order, packed, hp, ep, preds, best)
+    walk = _walk_host(packed, hp, ep, preds, best, len(new))
+    a2 = _merge(g2, new, 2, order, walk)
+    assert a1 == a2
+    assert g.bases == g2.bases
+    assert g.preds == g2.preds

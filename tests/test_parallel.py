@@ -113,3 +113,34 @@ def test_msa_sharded_gap_run_crosses_shard_boundary(mesh24):
     shd = msa_native.align_seqs([s1, s2], AlignParams(), mesh=mesh24)
     assert shd.rows == ref.rows
     assert shd.round_scores == ref.round_scores
+
+
+def test_diff_kernel_sharded_matches_unsharded(mesh81):
+    """The packed int32 kernel shard_maps over the data axis; per-pair
+    results must equal the single-device run (round-2: closes the
+    round-1 gap where sharded batches silently fell back to the scan)."""
+    from tsta_tpu.ops import psa_diff
+    rng = np.random.default_rng(21)
+    pairs = []
+    for _ in range(13):  # not a multiple of 8 groups
+        n, m = int(rng.integers(30, 400)), int(rng.integers(30, 400))
+        pairs.append((rng.integers(65, 69, n).astype(np.uint8),
+                      rng.integers(65, 69, m).astype(np.uint8)))
+    p = (2, -5, -2, -4)
+    s1, c1 = psa_diff.psa_align_batch_diff(pairs, p)
+    s2, c2 = psa_diff.psa_align_batch_diff(pairs, p, mesh=mesh81)
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(c1, c2)
+
+
+def test_diff_kernel_sharded_on_2d_mesh(mesh24):
+    from tsta_tpu.ops import psa_diff
+    rng = np.random.default_rng(22)
+    pairs = [(rng.integers(65, 69, 200).astype(np.uint8),
+              rng.integers(65, 69, 180).astype(np.uint8))
+             for _ in range(3)]
+    p = (2, -5, -2, -4)
+    s1, c1 = psa_diff.psa_align_batch_diff(pairs, p)
+    s2, c2 = psa_diff.psa_align_batch_diff(pairs, p, mesh=mesh24)
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(c1, c2)

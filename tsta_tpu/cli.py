@@ -101,11 +101,17 @@ def cmd_msa(args) -> int:
 
 def cmd_batch(args) -> int:
     from tsta_tpu.parallel import batch as pbatch
+    mesh = None
+    if args.mesh:
+        from tsta_tpu.parallel import mesh as meshlib
+        data, seq = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = meshlib.make_mesh(data=data, seq=seq)
     t0 = time.time()
     results = pbatch.align_manifest(args.pairs, _params(args),
                                     traced=args.traced,
                                     out_dir=args.out_dir,
-                                    resume=args.resume)
+                                    resume=args.resume,
+                                    mesh=mesh)
     wall = time.time() - t0
     cells = sum(r["cells"] for r in results)
     emit_json({"pairs": len(results), "wall_s": round(wall, 4),
@@ -190,6 +196,9 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None, metavar="JSONL",
                    help="incremental result store; completed pairs are "
                         "skipped on restart (preemption-safe)")
+    p.add_argument("--mesh", default=None, metavar="DATAxSEQ",
+                   help="device mesh; pair groups shard over the data "
+                        "axis (e.g. 4x1)")
     p.set_defaults(fn=cmd_batch)
 
     if argv is None:

@@ -151,14 +151,11 @@ def _prepare_round(g: PoaGraph, params: AlignParams):
             max_in, pos, order)
 
 
-def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
-          e_pred, preds_tensor, best_row: int) -> int:
-    """Walk the 3-state traceback and merge ``seq`` into the graph.
-
-    Returns the number of nodes added.
-    """
-    n = len(seq)
-    align = [None] * n  # per new-seq position: graph node id or None
+def _walk_host(packed, h_pred, e_pred, preds_tensor, best_row: int,
+               n: int):
+    """Host 3-state traceback walk -> per-position aligned node row
+    (-1 for gap/insertion).  Same logic as ops/msa_pallas._walk."""
+    align = np.full((n,), -1, np.int64)
     state = "H"
     row, j = best_row, n - 1
     while j >= 0:
@@ -168,7 +165,7 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
             code = int(packed[row, j])
             h_type = code >> 2
             if h_type == 0:
-                align[j] = order[row]
+                align[j] = row
                 prow = int(preds_tensor[row, int(h_pred[row, j])]) - 1
                 row, j = prow, j - 1
             elif h_type == 1:
@@ -183,9 +180,17 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
         else:  # F: new-seq base j inserted against a gap
             code = int(packed[row, j])
             state = "F" if code & 1 else "H"
-            align[j] = None
+            align[j] = -1
             j -= 1
+    return align
 
+
+def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
+           align_rows) -> int:
+    """Merge ``seq`` into the graph given the per-position aligned node
+    rows (from either the host or device walk).  Returns nodes added."""
+    n = len(seq)
+    align = [order[r] if r >= 0 else None for r in align_rows]
     before = len(g)
     prev = -1
     for jj in range(n):
@@ -209,6 +214,17 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
         g.add_edge(prev, v)
         prev = v
     return len(g) - before
+
+
+def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
+          e_pred, preds_tensor, best_row: int) -> int:
+    """Walk the 3-state traceback and merge ``seq`` into the graph.
+
+    Returns the number of nodes added.
+    """
+    align_rows = _walk_host(packed, h_pred, e_pred, preds_tensor,
+                            best_row, len(seq))
+    return _merge(g, seq, seq_no, order, align_rows)
 
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
@@ -245,9 +261,21 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                 graph_lens = extra["graph_len"]
                 add_lens = extra["add_len"]
                 reads = reads[extra["next_read_idx"]:]
+    import os
+
+    import jax
+    # round-DP engine: the Pallas POA kernel (ops/msa_pallas.py) on TPU,
+    # the per-node scan elsewhere; TSTA_MSA_KERNEL=poa|scan overrides.
+    kern = os.environ.get("TSTA_MSA_KERNEL", "auto")
+    use_poa = (mesh is None and kern != "scan"
+               and (kern == "poa" or jax.default_backend() == "tpu"))
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
-        if mesh is not None:
+        if use_poa:
+            from tsta_tpu.ops import msa_pallas
+            sink_scores, align_of, order, preds = msa_pallas.round_dp(
+                g, bytes(seq), params)
+        elif mesh is not None:
             # long-read path: columns sharded over the mesh 'seq' axis
             from tsta_tpu.parallel import msa_longseq
             (sink_scores, packed, h_pred, e_pred, order,
@@ -272,8 +300,12 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
         sink_rows = [i for i, v in enumerate(order) if v in sinks]
         best_row = max(sink_rows, key=lambda i: sink_scores[i])
         round_scores.append(int(sink_scores[best_row]))
-        added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred, e_pred,
-                      preds, best_row)
+        if use_poa:
+            added = _merge(g, bytes(seq), seq_no, order,
+                           align_of(best_row))
+        else:
+            added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred,
+                          e_pred, preds, best_row)
         add_lens.append(added)
         graph_lens.append(len(g))
         g.toposort()

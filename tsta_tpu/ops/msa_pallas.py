@@ -1,0 +1,379 @@
+"""Pallas POA round kernel: the device-scaled native-MSA DP.
+
+This is SURVEY.md section 2's prescribed TPU equivalent of the
+reference's MSA hot loop (``block_line_alignment``,
+msa/c-t-simd.c:165-657): one kernel launch per round computes the DP of
+every topo-ordered graph node row against the new sequence, with
+predecessor row indices scalar-prefetched, instead of the round-1
+per-node ``lax.scan`` (ops/msa_native.py:_round_dp) whose O(graph)
+dispatch steps and (N, n) live buffers cannot scale.
+
+Design (same exact int32 recurrence as _round_dp -- see that module's
+docstring; tie-breaking replicated bit-for-bit):
+
+* **Ring-buffered H/E state in HBM.**  A node's H/E rows are only read
+  by its successors, and topo order keeps predecessors close (the
+  reference relies on the same locality: per-node rows are L-byte
+  blocks promoted only when they cross blocks, c-t-simd.c:580-598).
+  State lives in an HBM ring of W slots, W = next power of two above
+  the round's maximum topo pred distance; memory is O(W x n), not
+  O(N x n).  The virtual boundary row (H(-1,j) = o+(j+1)e) is computed
+  analytically, never stored.
+* **Scalar-prefetched predecessors.**  preds/pmask/bases/hm1 sit in
+  SMEM; per node the kernel DMA-gathers the <= max_in predecessor
+  (H,E) slots HBM->VMEM, reduces them with first-max-wins argmax
+  (matching jnp.argmax), then runs the same closed-form-F row body as
+  the PSA kernels (masked lane prefix + cross-segment carry).
+* **Single-word traceback.**  h_type/e_ext/f_ext/h_pred/e_pred pack
+  into one int32 per cell (byte0 = packed flags, byte1 = h_pred,
+  byte2 = e_pred), written with one DMA per node; the walk runs ON
+  DEVICE (``walk_alignment``) so planes never cross the host link --
+  only the (n,)-long alignment column map does.
+
+Exactness is tested against _round_dp on CPU (interpret mode) and the
+engines agree end-to-end (tests/test_msa_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tsta_tpu.ops.psa_scan import NEG, bucket
+
+LANES = 128
+NEG32 = -(2 ** 28)
+
+
+def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
+                nreal_ref,
+                a_ref,
+                words_ref, scores_ref, hbuf_ref, ebuf_ref,
+                hp_ref, ep_ref, stage_ref, sem,
+                *, N, Rp, W, max_in, params):
+    # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
+    # minor dim to a full lane tile, so an (N, 1) table would occupy
+    # N x 512 bytes and overflow the ~1 MB SMEM budget for any real
+    # graph (observed on v5e).
+    m_, x_, e_, o_ = params
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 1)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 0)
+    col_idx = sub_idx * LANES + lane_idx
+    lane0m = lane_idx == 0
+    seg0 = sub_idx == 0
+    origin = jnp.logical_and(lane0m, seg0)
+    lane_lt = {}
+    k = 1
+    while k < LANES:
+        lane_lt[k] = lane_idx < k
+        k *= 2
+    srow1 = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0)
+    seg_lt = {}
+    k = 1
+    while k < Rp:
+        seg_lt[k] = srow1 < k
+        k *= 2
+    colE = col_idx * e_
+    oColE = o_ + colE
+    a32 = a_ref[:]
+    n_real = nreal_ref[0, 0]
+    corner_mask = col_idx == n_real - 1
+    h_virtual = o_ + (col_idx + 1) * e_          # H(-1, j)
+
+    def shift1(x, fill):
+        a1 = pltpu.roll(x, shift=1, axis=1)
+        a2 = pltpu.roll(a1, shift=1, axis=0)
+        res = jnp.where(lane0m, a2, a1)
+        return jnp.where(origin, fill, res)
+
+    def node_body(i, _):
+        # ---- gather predecessor state (ring slots) -------------------
+        for kk in range(max_in):
+            pr = preds_ref[kk, i]                 # buffer id; 0 = virtual
+
+            @pl.when(jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0))
+            def _gather(kk=kk, pr=pr):
+                cp = pltpu.make_async_copy(
+                    hbuf_ref.at[pr % W], hp_ref.at[kk], sem)
+                cp.start()
+                cp.wait()
+                cp = pltpu.make_async_copy(
+                    ebuf_ref.at[pr % W], ep_ref.at[kk], sem)
+                cp.start()
+                cp.wait()
+
+        # ---- per-pred reduction (first-max-wins, as jnp.argmax) ------
+        hbest = jnp.full((Rp, LANES), NEG32, jnp.int32)
+        hargm = jnp.zeros((Rp, LANES), jnp.int32)
+        ebest = jnp.full((Rp, LANES), NEG32, jnp.int32)
+        eargm = jnp.zeros((Rp, LANES), jnp.int32)
+        eext = jnp.zeros((Rp, LANES), jnp.int32)
+        fill_h = jnp.int32(NEG32)       # max_k Hm1p (diag boundary)
+        fill_arg = jnp.int32(0)         # argmax of the boundary column
+        for kk in range(max_in):
+            pr = preds_ref[kk, i]
+            valid = pmask_ref[kk, i] != 0
+            virt = pr == 0
+            hp = jnp.where(virt, h_virtual, hp_ref[kk])
+            ep = jnp.where(virt, NEG32, ep_ref[kk])
+            hp = jnp.where(valid, hp, NEG32)
+            ep = jnp.where(valid, ep, NEG32)
+            upd = hp > hbest
+            hbest = jnp.maximum(hbest, hp)
+            hargm = jnp.where(upd, kk, hargm)
+            ec = jnp.maximum(ep + e_, hp + (o_ + e_))
+            ec = jnp.where(valid, ec, NEG32)
+            upde = ec > ebest
+            ebest = jnp.maximum(ebest, ec)
+            eargm = jnp.where(upde, kk, eargm)
+            eext = jnp.where(upde, (ep + e_ == ec).astype(jnp.int32),
+                             eext)
+            hm1k = jnp.where(valid, hm1p_ref[kk, i], NEG32)
+            fill_arg = jnp.where(hm1k > fill_h, kk, fill_arg)
+            fill_h = jnp.maximum(fill_h, hm1k)
+
+        base = bases_ref[0, i]
+        sub = jnp.where(a32 == base, m_, x_)
+        diag = shift1(hbest, fill_h) + sub
+        h_pred = shift1(hargm, fill_arg)
+        e_row = ebest
+        c = jnp.maximum(diag, e_row)
+
+        hv_m1 = hm1own_ref[0, i]                 # own H(v,-1)
+        y = c - colE
+        p = shift1(y, hv_m1 + e_)
+        k = 1
+        while k < LANES:
+            p = jnp.maximum(
+                p, jnp.where(lane_lt[k], NEG32,
+                             pltpu.roll(p, shift=k, axis=1)))
+            k *= 2
+        t = jnp.maximum(p, y)
+        k = 1
+        while k < Rp:
+            t = jnp.maximum(
+                t, jnp.where(seg_lt[k], NEG32,
+                             pltpu.roll(t, shift=k, axis=0)))
+            k *= 2
+        cyt = pltpu.roll(t, shift=1, axis=0)
+        carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
+        f_row = oColE + jnp.maximum(p, carry_seg)
+        h_row = jnp.maximum(c, f_row)
+
+        # f_ext: F(v,j) == F(v,j-1) + e  (shift fills NEG at column 0)
+        f_prev = shift1(f_row, NEG32)
+        f_ext = (f_row == f_prev + e_).astype(jnp.int32)
+        h_type = jnp.where(h_row == diag, 0,
+                           jnp.where(h_row == e_row, 1, 2))
+
+        word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 8) \
+            | (eargm << 16)
+        stage_ref[0] = word
+        cp = pltpu.make_async_copy(stage_ref.at[0], words_ref.at[i], sem)
+        cp.start()
+        cp.wait()
+
+        # sink score at column n_real-1
+        scores_ref[0, i] = jnp.max(
+            jnp.where(corner_mask, h_row, NEG32))
+
+        # write this node's state into its ring slot
+        stage_ref[0] = h_row
+        cp = pltpu.make_async_copy(stage_ref.at[0],
+                                   hbuf_ref.at[(i + 1) % W], sem)
+        cp.start()
+        cp.wait()
+        stage_ref[0] = e_row
+        cp = pltpu.make_async_copy(stage_ref.at[0],
+                                   ebuf_ref.at[(i + 1) % W], sem)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, N, node_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("N", "n", "W", "max_in", "params"))
+def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
+                    N, n, W, max_in, params):
+    """preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
+    nreal: (1, 1) i32; a2d: (Rp, 128) i32."""
+    Rp = n // LANES
+    kernel = functools.partial(_poa_kernel, N=N, Rp=Rp, W=W,
+                               max_in=max_in, params=params)
+    words, scores, _, _ = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # preds
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # pmask
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # bases
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # per-pred H(p,-1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # own H(v,-1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # n_real
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # a chars
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int32),  # words
+            jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
+            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # H ring
+            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # E ring
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
+            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # DMA staging
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(preds, pmask, bases, hm1p, hm1own, nreal, a2d)
+    return words, scores
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _walk(words, preds, best_row, n_real, n):
+    """Device traceback walk (the 3-state logic of msa_native._fuse's
+    plane walk); returns align (n,) int32: aligned node row or -1."""
+    words2 = words.reshape(words.shape[0], -1)
+
+    def cond(st):
+        row, j, state, align = st
+        return jnp.logical_and(j >= 0, row >= 0)
+
+    def body(st):
+        row, j, state, align = st
+        w = words2[row, j]
+        flags = w & 0xFF
+        h_type = flags >> 2
+        e_ext = (flags >> 1) & 1
+        f_ext = flags & 1
+        h_pred = (w >> 8) & 0xFF
+        e_pred = (w >> 16) & 0xFF
+
+        def h_case(_):
+            def diag(_):
+                return (jnp.take(preds[row], h_pred) - 1, j - 1, 0,
+                        align.at[j].set(row))
+
+            def to_e(_):
+                return (row, j, 1, align)
+
+            def to_f(_):
+                return (row, j, 2, align)
+
+            return jax.lax.switch(h_type, [diag, to_e, to_f], None)
+
+        def e_case(_):
+            prow = jnp.take(preds[row], e_pred) - 1
+            return (prow, j, jnp.where(e_ext == 1, 1, 0), align)
+
+        def f_case(_):
+            return (row, j - 1, jnp.where(f_ext == 1, 2, 0),
+                    align.at[j].set(-1))
+
+        return jax.lax.switch(state, [h_case, e_case, f_case], None)
+
+    align0 = jnp.full((n,), -1, jnp.int32)
+    row, j, state, align = jax.lax.while_loop(
+        cond, body, (best_row, n_real - 1, jnp.int32(0), align0))
+    return align
+
+
+def _prepare(g, params):
+    """Dense tensors for the kernel (host side; mirrors
+    msa_native._prepare_round but flattens boundaries per pred)."""
+    order = g.topo
+    N_real = len(order)
+    pos = {v: i for i, v in enumerate(order)}
+    max_in = max(1, max(len(g.preds[v]) for v in order))
+    max_in = _next_pow2(max_in)   # bound recompiles as in-degree grows
+    # node-count bucketing bounds recompiles as the graph grows; padded
+    # nodes have pmask 0 everywhere, their DP rows are garbage that no
+    # real node reads (they sit after every real node in topo order) and
+    # their ring writes only touch slots no longer referenced
+    N = bucket(N_real)
+    preds = np.zeros((N, max_in), np.int32)
+    pmask = np.zeros((N, max_in), np.int32)
+    bases = np.zeros((N, 1), np.int32)
+    hm1 = np.full((N + 1,), NEG, np.int64)
+    hm1[0] = 0
+    e_, o_ = params.gap_extend, params.gap_open
+    maxdist = 1
+    for i, v in enumerate(order):
+        bases[i, 0] = g.bases[v]
+        ps = g.preds[v]
+        if not ps:
+            preds[i, 0] = 0
+            pmask[i, 0] = 1
+            hm1[i + 1] = o_ + e_
+        else:
+            for k, pv in enumerate(ps):
+                preds[i, k] = pos[pv] + 1
+                pmask[i, k] = 1
+                maxdist = max(maxdist, (i + 1) - (pos[pv] + 1))
+            hm1[i + 1] = max(hm1[pos[pv] + 1] for pv in ps) + e_
+    hm1 = hm1.astype(np.int32)
+    # per-pred boundary H(p,-1) and per-node own H(v,-1), (rows, N)
+    hm1p = np.where(pmask.T != 0, hm1[preds.T], np.int32(NEG32))
+    hm1own = hm1[1:N + 1].reshape(1, N)
+    W = 2
+    while W < maxdist + 1:
+        W *= 2
+    W = min(W, _next_pow2(N + 1))
+    return (preds.T.copy(), pmask.T.copy(), bases.reshape(1, N),
+            hm1p.astype(np.int32), hm1own, N, max_in, W, pos, order,
+            preds)
+
+
+def _next_pow2(v):
+    w = 1
+    while w < v:
+        w *= 2
+    return w
+
+
+def round_dp(g, seq: bytes, params):
+    """One MSA round on device via the POA kernel.
+
+    Returns (sink_scores (N,), align_of(best_row) callable, order,
+    preds) -- same consumption contract as the scan engine after its
+    host walk.
+    """
+    p = (params.match, params.mismatch, params.gap_extend,
+         params.gap_open)
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W, pos,
+     order, preds) = _prepare(g, params)
+    n_real = len(seq)
+    n = bucket(n_real)
+    if n % LANES:
+        n += LANES - n % LANES
+    a = np.zeros((n,), np.uint8)
+    a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
+    a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
+    words, scores = _poa_round_call(
+        jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
+        jnp.asarray(hm1p), jnp.asarray(hm1own),
+        jnp.asarray([[n_real]], dtype=np.int32),
+        a2d, N, n, W, max_in, p)
+    scores_np = np.asarray(scores)[0, :len(order)]  # drop padded nodes
+
+    preds_dev = jnp.asarray(preds)
+
+    def align_of(best_row: int) -> np.ndarray:
+        al = _walk(words, preds_dev, jnp.int32(best_row),
+                   jnp.int32(n_real), n)
+        return np.asarray(al)[:n_real]
+
+    return scores_np, align_of, order, preds

@@ -436,7 +436,7 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
     )(brows, a32, cmask, mlast, flags)
 
 
-def psa_align_batch_diff(seq_pairs, params, use_int16=None):
+def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
     """Score-only batch via the packed kernels (any pair length).
 
     Pairs are assumed length-bucketed by the caller (padded here to the
@@ -446,6 +446,11 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None):
     parameter bound D <= 72, but blocked on the current TPU toolchain --
     see module docstring); default is the int32 packed kernel.  The env
     var TSTA_DIFF_INT16=1 flips the default for future toolchains.
+
+    ``mesh``: a (data, seq) Mesh; pair groups are sharded over the
+    ``data`` axis with ``shard_map`` (the kernel is embarrassingly
+    SPMD per group, so every device runs the identical single-chip
+    kernel on its slice -- no collectives).
     """
     import os
     if use_int16 is None:
@@ -469,6 +474,9 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None):
         n_pad += LANES
         Rp += 1
     G = -(-B // P)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        G = -(-G // n_data) * n_data   # equal group count per device
     Bp = G * P                     # pad batch by repeating the last pair
     S = P * Rp
     nblk = m_pad // T_R
@@ -503,8 +511,27 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None):
         flags[i // P, nm[i, 1] - 1] = 1
     flags = flags.reshape(G * nblk * T_R, 1)
 
-    scores, corners = _psa_diff_call(
-        jnp.asarray(a32), jnp.asarray(brows), jnp.asarray(cmask),
-        jnp.asarray(mlast), jnp.asarray(flags), n_pad, m_pad, P, p,
-        use_int16)
+    args = (jnp.asarray(a32), jnp.asarray(brows), jnp.asarray(cmask),
+            jnp.asarray(mlast), jnp.asarray(flags))
+    if mesh is None:
+        scores, corners = _psa_diff_call(*args, n_pad, m_pad, P, p,
+                                         use_int16)
+    else:
+        try:
+            from jax import shard_map  # jax >= 0.9
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as PS
+        spec = PS("data")
+
+        def shard_fn(a_, b_, c_, m_, f_):
+            return _psa_diff_call(a_, b_, c_, m_, f_, n_pad, m_pad, P, p,
+                                  use_int16)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-axis
+        # metadata, which trips jax>=0.9's shard_map vma check; the body
+        # is trivially SPMD (no collectives), so the check adds nothing
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 5,
+                       out_specs=(spec, spec), check_vma=False)
+        scores, corners = fn(*args)
     return np.asarray(scores)[:B, 0], np.asarray(corners)[:B, 0]

@@ -165,12 +165,16 @@ def psa_align(a: np.ndarray, b: np.ndarray, params, traced: bool = False
         params = (params.match, params.mismatch, params.gap_extend,
                   params.gap_open)
     p = tuple(int(v) for v in params)
-    if p[3] > 0 or p[2] > 0:
+    if p[3] > 0:
         # the closed-form F (cummax over C(k) - k*e) assumes re-opening a
-        # gap from inside a gap never wins, which requires gap_open <= 0;
-        # positive gap_extend additionally breaks the bucketed padding.
-        raise ValueError("scan kernel requires gap_open <= 0 and "
-                         "gap_extend <= 0 (got O=%d E=%d)" % (p[3], p[2]))
+        # gap from inside a gap never wins, which requires gap_open <= 0.
+        # (The reference binary accepts O>0 but then emits scores that
+        # contradict its own recurrence -- audited in
+        # tests/test_param_audit.py -- so there is nothing to match.)
+        # Every other sign combination, including X>=0 and E>0, is exact
+        # here: bucketed padding simply turns off (can_pad below).
+        raise ValueError("scan kernel requires gap_open <= 0 "
+                         "(got O=%d)" % p[3])
     a = np.asarray(a, dtype=np.uint8)
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])
