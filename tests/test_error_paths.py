@@ -35,7 +35,7 @@ from tsta_tpu.models import msa as msa_model
 from tsta_tpu.config import AlignParams
 
 rng = np.random.default_rng(3)
-def junk(n): return bytes(rng.choice(list(b"ACGT"), n))
+def junk(n): return rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes()
 seqs = [b"C"*16] + [junk(4 + i) + b"C"*16 for i in range(1, 12)]
 try:
     msa_model.align_seqs(seqs, AlignParams(), engine="compat")

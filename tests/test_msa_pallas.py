@@ -45,7 +45,7 @@ def _scan_round(g, seq, params):
 
 
 def _grown_graph(rng, n_reads=3, ln=120, div=0.1):
-    base = bytes(rng.choice(list(b"ACGT"), ln))
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), ln).tobytes()
     seqs = [_mutate(rng, base, div) for _ in range(n_reads)]
     g = PoaGraph.from_sequence(seqs[0], n_reads + 1)
     params = AlignParams()
@@ -84,7 +84,7 @@ def test_poa_kernel_round_matches_scan(seed):
 
 def test_align_seqs_poa_engine_matches_scan(monkeypatch):
     rng = np.random.default_rng(7)
-    base = bytes(rng.choice(list(b"ACGT"), 150))
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 150).tobytes()
     seqs = [_mutate(rng, base, 0.08) for _ in range(4)]
 
     monkeypatch.setenv("TSTA_MSA_KERNEL", "scan")

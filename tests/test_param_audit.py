@@ -47,8 +47,8 @@ def _run_binary(a: bytes, b: bytes, m, x, e, o) -> int:
 
 
 def _pair(rng, n=160, m=160):
-    return (bytes(rng.choice(list(b"ACGT"), n)),
-            bytes(rng.choice(list(b"ACGT"), m)))
+    return (rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes(),
+            rng.choice(np.frombuffer(b"ACGT", np.uint8), m).tobytes())
 
 
 @pytest.mark.parametrize("params", [

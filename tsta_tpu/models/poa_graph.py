@@ -150,16 +150,73 @@ class PoaGraph:
 
     def msa_rows(self) -> List[bytes]:
         """Row-wise MSA: one column per variant ring (reference
-        result.c:42-66 semantics)."""
-        printed = [False] * len(self)
-        cols: List[List[int]] = []
+        result.c:42-66 semantics).
+
+        Columns are ordered by a topological sort of the *condensed*
+        column graph (variant groups as vertices, node edges as arcs):
+        ordering raw nodes by graph topo order -- as the reference does
+        -- can emit a variant group before an intervening node of some
+        read's path when the variant was created in a later round,
+        swapping adjacent bases in that read's row.  The reference's
+        custom tp/tp1 visit order avoids this for its own fusion rules;
+        the condensed sort is the general guarantee.  On a (degenerate)
+        cyclic column graph it falls back to node-topo order.
+        """
+        n = len(self)
+        # variant groups = connected components of the variant relation
+        gid = list(range(n))
+
+        def find(a):
+            while gid[a] != a:
+                gid[a] = gid[gid[a]]
+                a = gid[a]
+            return a
+
+        for v in range(n):
+            for w in self.variants[v]:
+                ra, rb = find(v), find(w)
+                if ra != rb:
+                    gid[max(ra, rb)] = min(ra, rb)
+        group_of = [find(v) for v in range(n)]
+        members: dict = {}
+        topo_rank = {v: i for i, v in enumerate(self.topo)}
         for v in self.topo:
-            if printed[v]:
-                continue
-            group = [v] + [w for w in self.variants[v] if not printed[w]]
-            for w in group:
-                printed[w] = True
-            cols.append(group)
+            members.setdefault(group_of[v], []).append(v)
+
+        # condensed DAG + Kahn with min-topo-rank tie-break
+        import heapq
+        succs: dict = {g: set() for g in members}
+        indeg = {g: 0 for g in members}
+        for v in range(n):
+            for p in self.preds[v]:
+                a, b = group_of[p], group_of[v]
+                if a != b and b not in succs[a]:
+                    succs[a].add(b)
+                    indeg[b] += 1
+        rank = {g: min(topo_rank[v] for v in ms)
+                for g, ms in members.items()}
+        heap = [(rank[g], g) for g in members if indeg[g] == 0]
+        heapq.heapify(heap)
+        cols: List[List[int]] = []
+        while heap:
+            _, g = heapq.heappop(heap)
+            cols.append(members[g])
+            for s in succs[g]:
+                indeg[s] -= 1
+                if indeg[s] == 0:
+                    heapq.heappush(heap, (rank[s], s))
+        if len(cols) != len(members):  # cycle: fall back to node order
+            printed = [False] * n
+            cols = []
+            for v in self.topo:
+                if printed[v]:
+                    continue
+                group = [v] + [w for w in self.variants[v]
+                               if not printed[w]]
+                for w in group:
+                    printed[w] = True
+                cols.append(group)
+
         rows = [bytearray(b"-" * len(cols)) for _ in range(self.n_seq)]
         for ci, group in enumerate(cols):
             for w in group:

@@ -54,13 +54,17 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 nreal_ref,
                 a_ref,
                 words_ref, scores_ref, hbuf_ref, ebuf_ref,
-                hp_ref, ep_ref, stage_ref, sem,
-                *, N, Rp, W, max_in, params):
+                hp_ref, ep_ref, stage_ref, stage16_ref, sem,
+                *, NB, Rp, W, max_in, params):
     # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
     # minor dim to a full lane tile, so an (N, 1) table would occupy
     # N x 512 bytes and overflow the ~1 MB SMEM budget for any real
-    # graph (observed on v5e).
+    # graph (observed on v5e).  They are additionally STREAMED per
+    # NB-node block through the grid: even in (rows, N) form the tables
+    # sum past 1 MB around ~40k nodes, within the reference's documented
+    # 50k-200k bp working window.
     m_, x_, e_, o_ = params
+    blk = pl.program_id(0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 1)
     sub_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 0)
     col_idx = sub_idx * LANES + lane_idx
@@ -92,6 +96,7 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         return jnp.where(origin, fill, res)
 
     def node_body(i, _):
+        ig = blk * NB + i            # global node row
         # ---- gather predecessor state (ring slots) -------------------
         for kk in range(max_in):
             pr = preds_ref[kk, i]                 # buffer id; 0 = virtual
@@ -171,10 +176,16 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         h_type = jnp.where(h_row == diag, 0,
                            jnp.where(h_row == e_row, 1, 2))
 
-        word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 8) \
-            | (eargm << 16)
-        stage_ref[0] = word
-        cp = pltpu.make_async_copy(stage_ref.at[0], words_ref.at[i], sem)
+        # 16-bit word: flags(4) | h_pred(6) | e_pred(6).  int16 halves
+        # the O(N x n) traceback footprint (the scaling limit at the
+        # reference's documented 50k-200k bp window); max_in <= 64
+        # enforced host-side (the reference's own encoding caps at 42
+        # predecessors, c-t-simd.c:451-456).
+        word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
+            | (eargm << 10)
+        stage16_ref[0] = word.astype(jnp.int16)
+        cp = pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[ig],
+                                   sem)
         cp.start()
         cp.wait()
 
@@ -185,17 +196,17 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # write this node's state into its ring slot
         stage_ref[0] = h_row
         cp = pltpu.make_async_copy(stage_ref.at[0],
-                                   hbuf_ref.at[(i + 1) % W], sem)
+                                   hbuf_ref.at[(ig + 1) % W], sem)
         cp.start()
         cp.wait()
         stage_ref[0] = e_row
         cp = pltpu.make_async_copy(stage_ref.at[0],
-                                   ebuf_ref.at[(i + 1) % W], sem)
+                                   ebuf_ref.at[(ig + 1) % W], sem)
         cp.start()
         cp.wait()
         return 0
 
-    jax.lax.fori_loop(0, N, node_body, 0)
+    jax.lax.fori_loop(0, NB, node_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -203,32 +214,42 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
                     N, n, W, max_in, params):
     """preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
-    nreal: (1, 1) i32; a2d: (Rp, 128) i32."""
+    nreal: (1, 1) i32; a2d: (Rp, 128) i32.  Scalar tables stream per
+    NB-node block through the (sequential) grid."""
     Rp = n // LANES
-    kernel = functools.partial(_poa_kernel, N=N, Rp=Rp, W=W,
+    NB = _node_block(N)
+    kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
                                max_in=max_in, params=params)
     words, scores, _, _ = pl.pallas_call(
         kernel,
-        grid=(1,),
+        grid=(N // NB,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # preds
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # pmask
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # bases
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # per-pred H(p,-1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # own H(v,-1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # n_real
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # a chars
+            pl.BlockSpec((max_in, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # preds
+            pl.BlockSpec((max_in, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # pmask
+            pl.BlockSpec((1, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # bases
+            pl.BlockSpec((max_in, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # per-pred H(p,-1)
+            pl.BlockSpec((1, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # own H(v,-1)
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),    # n_real
+            pl.BlockSpec((Rp, LANES), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),    # a chars
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int32),  # words
+            jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int16),  # words
             jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
             jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # H ring
             jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # E ring
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
@@ -236,6 +257,7 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
             pltpu.VMEM((1, Rp, LANES), jnp.int32),        # DMA staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int16),        # word staging
             pltpu.SemaphoreType.DMA,
         ],
     )(preds, pmask, bases, hm1p, hm1own, nreal, a2d)
@@ -254,13 +276,13 @@ def _walk(words, preds, best_row, n_real, n):
 
     def body(st):
         row, j, state, align = st
-        w = words2[row, j]
-        flags = w & 0xFF
+        w = words2[row, j].astype(jnp.int32) & 0xFFFF
+        flags = w & 0xF
         h_type = flags >> 2
         e_ext = (flags >> 1) & 1
         f_ext = flags & 1
-        h_pred = (w >> 8) & 0xFF
-        e_pred = (w >> 16) & 0xFF
+        h_pred = (w >> 4) & 0x3F
+        e_pred = (w >> 10) & 0x3F
 
         def h_case(_):
             def diag(_):
@@ -298,12 +320,20 @@ def _prepare(g, params):
     N_real = len(order)
     pos = {v: i for i, v in enumerate(order)}
     max_in = max(1, max(len(g.preds[v]) for v in order))
+    if max_in > 64:
+        raise ValueError(
+            "POA kernel traceback packs predecessor indices into 6 bits "
+            "(in-degree %d > 64; the reference caps at 42); use the scan "
+            "engine (TSTA_MSA_KERNEL=scan)" % max_in)
     max_in = _next_pow2(max_in)   # bound recompiles as in-degree grows
     # node-count bucketing bounds recompiles as the graph grows; padded
     # nodes have pmask 0 everywhere, their DP rows are garbage that no
     # real node reads (they sit after every real node in topo order) and
-    # their ring writes only touch slots no longer referenced
+    # their ring writes only touch slots no longer referenced.  N is a
+    # multiple of the SMEM streaming block.
     N = bucket(N_real)
+    nb = _node_block(N)
+    N = -(-N // nb) * nb
     preds = np.zeros((N, max_in), np.int32)
     pmask = np.zeros((N, max_in), np.int32)
     bases = np.zeros((N, 1), np.int32)
@@ -342,6 +372,11 @@ def _next_pow2(v):
     while w < v:
         w *= 2
     return w
+
+
+def _node_block(N):
+    """Nodes per grid step (SMEM window size); divides N by design."""
+    return min(512, N)
 
 
 def round_dp(g, seq: bytes, params):
