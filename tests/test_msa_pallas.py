@@ -116,3 +116,20 @@ def test_walk_host_merge_refactor_roundtrip():
     assert a1 == a2
     assert g.bases == g2.bases
     assert g.preds == g2.preds
+
+
+def test_align_seqs_many_matches_single(monkeypatch):
+    """Pipelined multi-problem runner == per-problem runs (POA engine)."""
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    rng = np.random.default_rng(9)
+    sets = []
+    for _ in range(3):
+        base = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                          int(rng.integers(80, 160))).tobytes()
+        sets.append([_mutate(rng, base, 0.1) for _ in range(3)])
+    outs = msa_native.align_seqs_many(sets, AlignParams())
+    for seqs, out in zip(sets, outs):
+        ref = msa_native.align_seqs(seqs, AlignParams())
+        assert out.round_scores == ref.round_scores
+        assert out.rows == ref.rows
+        assert out.consensus == ref.consensus

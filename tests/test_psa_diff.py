@@ -36,6 +36,19 @@ def test_diff_matches_oracle(params, use_int16):
         assert int(ref.last) == c
 
 
+@pytest.mark.parametrize("layout", ["packed", "striped"])
+def test_diff_layouts_match_oracle(layout):
+    """Both tile layouts (row-major packed, columns-down-sublanes
+    striped) are exact; mixed shapes across several packed groups."""
+    rng = np.random.default_rng(31)
+    pairs = [(_rnd(rng, int(rng.integers(10, 800))),
+              _rnd(rng, int(rng.integers(10, 800)))) for _ in range(7)]
+    sc, co = psa_diff.psa_align_batch_diff(pairs, P0, layout=layout)
+    for (a, b), s, c in zip(pairs, sc, co):
+        ref = psa_scan.psa_align(a, b, P0)
+        assert (int(ref.score), int(ref.last)) == (s, c)
+
+
 def test_diff_similar_sequences_cross_block():
     """Similar pairs (scores drift upward) long enough to cross the
     T_R=256 grid block and many re-anchor intervals."""

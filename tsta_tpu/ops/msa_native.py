@@ -272,10 +272,27 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
         if use_poa:
+            # DP + best-sink + walk dispatch as one async device chain;
+            # the np.asarray calls below are the round's single sync
             from tsta_tpu.ops import msa_pallas
-            sink_scores, align_of, order, preds = msa_pallas.round_dp(
+            scores_d, align_d, best_d, order = msa_pallas.round_dp_fused(
                 g, bytes(seq), params)
-        elif mesh is not None:
+            best_row = int(best_d)
+            round_scores.append(int(np.asarray(scores_d)[0, best_row]))
+            added = _merge(g, bytes(seq), seq_no, order,
+                           np.asarray(align_d)[:len(seq)])
+            add_lens.append(added)
+            graph_lens.append(len(g))
+            g.toposort()
+            if checkpoint_path:
+                save_graph(checkpoint_path, g, extra={
+                    "digest": digest, "params": list(p),
+                    "round_scores": round_scores,
+                    "graph_len": graph_lens, "add_len": add_lens,
+                    "next_read_idx": read_idx + 1 + (len(seqs) - 1
+                                                     - len(reads))})
+            continue
+        if mesh is not None:
             # long-read path: columns sharded over the mesh 'seq' axis
             from tsta_tpu.parallel import msa_longseq
             (sink_scores, packed, h_pred, e_pred, order,
@@ -300,12 +317,8 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
         sink_rows = [i for i, v in enumerate(order) if v in sinks]
         best_row = max(sink_rows, key=lambda i: sink_scores[i])
         round_scores.append(int(sink_scores[best_row]))
-        if use_poa:
-            added = _merge(g, bytes(seq), seq_no, order,
-                           align_of(best_row))
-        else:
-            added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred,
-                          e_pred, preds, best_row)
+        added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred,
+                      e_pred, preds, best_row)
         add_lens.append(added)
         graph_lens.append(len(g))
         g.toposort()
@@ -319,3 +332,72 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     return MsaOutput(rows=g.msa_rows(), consensus=g.consensus(),
                      round_scores=round_scores, graph_len=graph_lens,
                      add_len=add_lens)
+
+
+def align_seqs_many(seq_sets: List[List[bytes]],
+                    params: AlignParams = AlignParams()):
+    """Progressive MSA of MANY independent read sets, pipelined so host
+    graph fusion overlaps device DP.
+
+    The reference's Amdahl bottleneck is the serial host fraction
+    (node_fuse + t_sort, SURVEY.md section 3.3).  Within ONE progressive
+    MSA that serialization is a true data dependency -- round r+1's DP
+    runs on the graph produced by round r's fusion, so it cannot be
+    dispatched early.  Across independent problems it is not: each
+    problem's round dispatches as one async device chain
+    (msa_pallas.round_dp_fused), and while problem i's fusion runs on
+    the host, the already-dispatched chains of problems i+1.. run on
+    the device.  Measured overlap is recorded in ROADMAP.md.
+
+    Returns a list of MsaOutput in input order.
+    """
+    from tsta_tpu.models.msa import MsaOutput
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_pallas
+
+    states = []
+    for seqs in seq_sets:
+        if not seqs:
+            raise ValueError("empty read set")
+        reads = list(range(1, len(seqs))) if len(seqs) > 1 else [0]
+        states.append({
+            "seqs": seqs,
+            "g": PoaGraph.from_sequence(seqs[0], len(seqs)),
+            "reads": reads, "next": 0,
+            "scores": [], "glen": [], "alen": [],
+            "pending": None,
+        })
+
+    def dispatch(st):
+        seq_no = st["reads"][st["next"]]
+        seq = bytes(st["seqs"][seq_no])
+        st["pending"] = (seq_no, seq,
+                         msa_pallas.round_dp_fused(st["g"], seq, params))
+
+    active = True
+    while active:
+        # fill the device queue: one in-flight round per problem
+        for st in states:
+            if st["pending"] is None and st["next"] < len(st["reads"]):
+                dispatch(st)
+        active = False
+        for st in states:
+            if st["pending"] is None:
+                continue
+            active = True
+            seq_no, seq, (scores_d, align_d, best_d, order) = st["pending"]
+            st["pending"] = None
+            best_row = int(best_d)           # sync for THIS problem only
+            st["scores"].append(int(np.asarray(scores_d)[0, best_row]))
+            st["alen"].append(_merge(st["g"], seq, seq_no, order,
+                                     np.asarray(align_d)[:len(seq)]))
+            st["glen"].append(len(st["g"]))
+            st["g"].toposort()
+            st["next"] += 1
+            if st["next"] < len(st["reads"]):
+                dispatch(st)   # device works on this while we fuse others
+
+    return [MsaOutput(rows=st["g"].msa_rows(),
+                      consensus=st["g"].consensus(),
+                      round_scores=st["scores"], graph_len=st["glen"],
+                      add_len=st["alen"]) for st in states]

@@ -379,6 +379,52 @@ def _node_block(N):
     return min(512, N)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _best_and_walk(words, preds, scores, sink_mask, n_real, n):
+    """Device-side best-sink pick + traceback walk: lets the whole
+    round (DP kernel -> argmax -> walk) dispatch as ONE async chain
+    with a single host sync, instead of a host round-trip between DP
+    and walk (the tunneled TPU adds ~30 ms per sync)."""
+    masked = jnp.where(sink_mask != 0, scores[0], NEG)
+    best_row = jnp.argmax(masked).astype(jnp.int32)
+    align = _walk(words, preds, best_row, n_real, n)
+    return best_row, align
+
+
+def round_dp_fused(g, seq: bytes, params):
+    """One MSA round fully on device: DP + best-sink + walk, one sync.
+
+    Returns (sink_scores (N_real,), align (n_real,), best_row int).
+    """
+    p = (params.match, params.mismatch, params.gap_extend,
+         params.gap_open)
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W, pos,
+     order, preds) = _prepare(g, params)
+    n_real = len(seq)
+    n = bucket(n_real)
+    if n % LANES:
+        n += LANES - n % LANES
+    a = np.zeros((n,), np.uint8)
+    a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
+    a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
+    words, scores = _poa_round_call(
+        jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
+        jnp.asarray(hm1p), jnp.asarray(hm1own),
+        jnp.asarray([[n_real]], dtype=np.int32),
+        a2d, N, n, W, max_in, p)
+    sinks = set(g.sinks())
+    sink_mask = np.zeros((N,), np.int32)
+    for i, v in enumerate(order):
+        if v in sinks:
+            sink_mask[i] = 1
+    best_row, align = _best_and_walk(
+        words, jnp.asarray(preds), scores, jnp.asarray(sink_mask),
+        jnp.int32(n_real), n)
+    # everything up to here is async; the caller's np.asarray is the
+    # single blocking point of the round
+    return (scores, align, best_row, order)
+
+
 def round_dp(g, seq: bytes, params):
     """One MSA round on device via the POA kernel.
 

@@ -377,13 +377,164 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
             corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
 
 
+def _striped_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
+                    score_ref, corner_ref,
+                    h_ref, e_ref, best_ref, corner32_ref,
+                    *, Sp, P, params):
+    """Striped-layout int32 kernel: columns run down the SUBLANE axis.
+
+    Per pair, column j sits at (sublane j mod Sp, lane j // Sp) -- the
+    TPU rebirth of the reference's Farrar stripe (psa.c:112 NUM2), but
+    chosen for the opposite reason: on v5e, cross-lane ops cost ~15-70x
+    more than sublane ops (cal3 microbenchmarks), so the closed-form F
+    prefix should scan *sublanes*.  All cross-lane work per row reduces
+    to single-vreg (P, 128) tiles: the two block-boundary transfers
+    (diagonal shift-in, F-prefix seed) extract each pair's last stripe
+    row, lane-roll the compressed (P, 128) tile, and re-expand with
+    per-pair selects; the cross-block F carry is an exclusive lane
+    prefix over the compressed block-maxima tile.
+
+    Same contract as _abs_kernel (scores = matrix max, corner).
+    """
+    m_, x_, e_, o_ = params
+    S = P * Sp
+    gidx = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    u_idx = srow % Sp                      # stripe row within pair
+    sub0v = u_idx == 0
+    pair_masks = [srow // Sp == p_ for p_ in range(P)]
+    sub0_masks = [jnp.logical_and(sub0v, pair_masks[p_])
+                  for p_ in range(P)]
+    su_lt = {}
+    k = 1
+    while k < Sp:
+        su_lt[k] = u_idx < k
+        k *= 2
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
+    plane_lt = {}
+    k = 1
+    while k < LANES:
+        plane_lt[k] = lane1 < k
+        k *= 2
+    origin = jnp.logical_and(sub0v, lane_idx == 0)
+    col_idx = lane_idx * Sp + u_idx        # per-pair linear column
+    colE = col_idx * e_
+    oColE = o_ + colE
+    a32 = a_ref[:]
+    cmask = cmask_ref[:]
+    mlast = mlast_ref[:]
+    has_corner = jnp.max(cmask, axis=1, keepdims=True) > 0
+
+    def boundary_rows(x):
+        """(P, 128) tile of each pair's last stripe row, lane-rolled by
+        one: entry [p, l] = x[pair p, u=Sp-1, lane l-1]."""
+        rows = jnp.concatenate(
+            [x[p_ * Sp + Sp - 1:p_ * Sp + Sp, :] for p_ in range(P)],
+            axis=0)
+        return pltpu.roll(rows, shift=1, axis=1)
+
+    def shift1(x, fill):
+        """Striped shift by one column; per-pair column 0 gets fill."""
+        a1 = pltpu.roll(x, shift=1, axis=0)
+        br = boundary_rows(x)
+        res = a1
+        for p_ in range(P):
+            res = jnp.where(sub0_masks[p_], br[p_:p_ + 1, :], res)
+        return jnp.where(origin, fill, res)
+
+    @pl.when(blk == 0)
+    def _init():
+        h_ref[:] = o_ + (col_idx + 1) * e_
+        e_ref[:] = jnp.full((S, LANES), NEG32, jnp.int32)
+        best_ref[:] = jnp.full((S, LANES), NEG32, jnp.int32)
+        corner32_ref[:] = jnp.full((S, 1), NEG32, jnp.int32)
+
+    def row_body(r, carry):
+        h_prev, e_prev, best = carry
+        i = blk * T_R + r
+
+        bv = jnp.zeros((S, 1), jnp.int32)
+        for p_ in range(P):
+            bv = jnp.where(pair_masks[p_], b_ref[r, p_], bv)
+        sub = jnp.where(a32 == bv, m_, x_)
+
+        bound_prev = jnp.where(i == 0, 0, o_ + i * e_)
+        bound_cur = o_ + (i + 1) * e_
+
+        diag = shift1(h_prev, bound_prev) + sub
+        e_row = jnp.maximum(e_prev + e_, h_prev + (o_ + e_))
+        c = jnp.maximum(diag, e_row)
+
+        # F: exclusive prefix of y = C - col*e over the striped order
+        y = c - colE
+        q = shift1(y, bound_cur + e_)
+        k = 1
+        while k < Sp:                      # within-stripe sublane scan
+            q = jnp.maximum(
+                q, jnp.where(su_lt[k], NEG32,
+                             pltpu.roll(q, shift=k, axis=0)))
+            k *= 2
+        # block maxima per (pair, lane): inclusive stripe max lives in
+        # max(q, y) at u = Sp-1; compress to (P, 128)
+        t = jnp.maximum(q, y)
+        tot = jnp.concatenate(
+            [t[p_ * Sp + Sp - 1:p_ * Sp + Sp, :] for p_ in range(P)],
+            axis=0)
+        # exclusive cross-block lane prefix on the compressed tile
+        cb = pltpu.roll(tot, shift=1, axis=1)
+        cb = jnp.where(lane1 == 0, NEG32, cb)
+        k = 1
+        while k < LANES:
+            cb = jnp.maximum(
+                cb, jnp.where(plane_lt[k], NEG32,
+                              pltpu.roll(cb, shift=k, axis=1)))
+            k *= 2
+        carry_t = jnp.full((S, LANES), NEG32, jnp.int32)
+        for p_ in range(P):
+            carry_t = jnp.where(pair_masks[p_], cb[p_:p_ + 1, :],
+                                carry_t)
+        f = oColE + jnp.maximum(q, carry_t)
+        h_row = jnp.maximum(c, f)
+        best = jnp.maximum(best, h_row)
+
+        @pl.when(flag_ref[r, 0] != 0)
+        def _corner():
+            tmp = jnp.where(cmask != 0, h_row, NEG32)
+            segc = jnp.max(tmp, axis=1, keepdims=True)
+            upd = jnp.logical_and(i == mlast, has_corner)
+            corner32_ref[:] = jnp.where(upd, segc, corner32_ref[:])
+
+        return h_row, e_row, best
+
+    h_fin, e_fin, best_fin = jax.lax.fori_loop(
+        0, T_R, row_body, (h_ref[:], e_ref[:], best_ref[:]))
+    h_ref[:] = h_fin
+    e_ref[:] = e_fin
+    best_ref[:] = best_fin
+
+    @pl.when(blk == nblk - 1)
+    def _finish():
+        best = best_ref[:]
+        corner32 = corner32_ref[:]
+        for p_ in range(P):
+            sl = slice(p_ * Sp, (p_ + 1) * Sp)
+            score_ref[gidx * P + p_, 0] = jnp.max(best[sl])
+            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "m_pad", "P", "params",
-                                    "use_int16"))
+                                    "use_int16", "layout"))
 def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
-                   use_int16=False):
+                   use_int16=False, layout="packed"):
     """a32:(G*S,128)i32  brows:(G*m_pad,P)i32  cmask:(G*S,128)i32
-    mlast:(G*S,1)i32  flags:(G*nblk*T_R,1)i32."""
+    mlast:(G*S,1)i32  flags:(G*nblk*T_R,1)i32.
+    a32/cmask are in row-major segment layout for 'packed' and in
+    striped (column-down-sublanes) layout for 'striped'."""
     Rp = n_pad // LANES
     S = P * Rp
     G = a32.shape[0] // S
@@ -401,7 +552,9 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
             pltpu.VMEM((S, 1), jnp.int32),       # corner (absolute)
         ]
     else:
-        kernel = functools.partial(_abs_kernel, Rp=Rp, P=P, params=params)
+        body = _striped_kernel if layout == "striped" else _abs_kernel
+        kw = {"Sp": Rp} if layout == "striped" else {"Rp": Rp}
+        kernel = functools.partial(body, P=P, params=params, **kw)
         scratch = [
             pltpu.VMEM((S, LANES), jnp.int32),   # H frontier
             pltpu.VMEM((S, LANES), jnp.int32),   # E frontier
@@ -436,7 +589,8 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
     )(brows, a32, cmask, mlast, flags)
 
 
-def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
+def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
+                         layout=None):
     """Score-only batch via the packed kernels (any pair length).
 
     Pairs are assumed length-bucketed by the caller (padded here to the
@@ -455,6 +609,14 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
     import os
     if use_int16 is None:
         use_int16 = bool(os.environ.get("TSTA_DIFF_INT16"))
+    if layout is None:
+        # 'striped' (columns down sublanes) measures within noise of
+        # 'packed' on v5e -- both are VMEM-bandwidth-bound, not
+        # lane-roll-bound -- but needs more VMEM headroom at large P,
+        # so the row-major packed layout stays the default
+        layout = os.environ.get("TSTA_PSA_LAYOUT", "packed")
+    if use_int16:
+        layout = "packed"   # the int16 variant only has the packed form
     p = _as_tuple(params)
     if not supports_params(p):
         raise ValueError("packed kernel requires M>0>X, E<0, O<=0 "
@@ -492,13 +654,21 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
         nm[i] = (n_real[j], m_real[j])
 
     # pack along sublanes: group g rows [p*Rp, (p+1)*Rp) hold pair g*P+p
+    if layout == "striped":
+        # column j at (sublane j % Sp, lane j // Sp), Sp = Rp
+        a2d = a2d.reshape(Bp, LANES, Rp).transpose(0, 2, 1).reshape(
+            Bp, n_pad)
+        col = np.arange(n_pad, dtype=np.int32).reshape(
+            LANES, Rp).T.reshape(-1)
+    else:
+        col = np.arange(n_pad, dtype=np.int32)
     a32 = a2d.astype(np.int32).reshape(G, P * Rp, LANES).reshape(
         G * S, LANES)
     # per-row chars, transposed per group for SMEM scalar reads
     brows = brows.astype(np.int32).reshape(G, P, m_pad).transpose(
         0, 2, 1).reshape(G * m_pad, P)
-    # corner-lane mask (1 at per-pair column n_real-1)
-    col = np.arange(n_pad, dtype=np.int32).reshape(Rp, LANES)
+    # corner mask (1 at per-pair column n_real-1, in the kernel's layout)
+    col = col.reshape(Rp, LANES)
     cmask = np.zeros((Bp, Rp, LANES), np.int32)
     for i in range(Bp):
         cmask[i] = (col == nm[i, 0] - 1)
@@ -515,7 +685,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
             jnp.asarray(mlast), jnp.asarray(flags))
     if mesh is None:
         scores, corners = _psa_diff_call(*args, n_pad, m_pad, P, p,
-                                         use_int16)
+                                         use_int16, layout)
     else:
         try:
             from jax import shard_map  # jax >= 0.9
@@ -526,7 +696,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None):
 
         def shard_fn(a_, b_, c_, m_, f_):
             return _psa_diff_call(a_, b_, c_, m_, f_, n_pad, m_pad, P, p,
-                                  use_int16)
+                                  use_int16, layout)
 
         # check_vma=False: pallas_call's out_shape carries no varying-axis
         # metadata, which trips jax>=0.9's shard_map vma check; the body
