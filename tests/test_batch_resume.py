@@ -46,3 +46,39 @@ def test_manifest_resume(tmp_path):
     assert sorted(r["name"] for r in r2) == sorted(r["name"] for r in r1)
     assert {r["name"]: r["score"] for r in r2} == \
         {r["name"]: r["score"] for r in r1}
+
+
+def test_manifest_traced_outputs(tmp_path):
+    """align_manifest traced mode writes per-pair alignment files whose
+    rows reconstruct the inputs (covers the longer-horizontal re-encode
+    swap in the scan fallback path)."""
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.parallel import batch as pbatch
+
+    rng = np.random.default_rng(4)
+    lines = []
+    for i, (n, m) in enumerate([(80, 120), (150, 60)]):  # both swap dirs
+        fa1 = tmp_path / ("a%d.fa" % i)
+        fa2 = tmp_path / ("b%d.fa" % i)
+        s1 = rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes()
+        s2 = rng.choice(np.frombuffer(b"ACGT", np.uint8), m).tobytes()
+        fa1.write_bytes(b">s\n" + s1 + b"\n")
+        fa2.write_bytes(b">s\n" + s2 + b"\n")
+        lines.append(("p%d" % i, str(fa1), str(fa2), s1, s2))
+    man = tmp_path / "pairs.tsv"
+    man.write_text("".join("%s\t%s\t%s\n" % l[:3] for l in lines))
+    out_dir = tmp_path / "alns"
+    rows = pbatch.align_manifest(str(man), AlignParams(), traced=True,
+                                 out_dir=str(out_dir))
+    assert len(rows) == 2
+    for name, _, _, s1, s2 in lines:
+        data = (out_dir / (name + ".txt")).read_bytes()
+        r1 = data.split(b">1\n")[1].split(b"\n>2\n")[0]
+        r2 = data.split(b"\n>2\n")[1]
+        # rows reconstruct the two inputs (longer sequence is row 1)
+        long_s, short_s = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
+        assert r1.replace(b"-", b"") == long_s
+        assert r2.replace(b"-", b"") == short_s
+        assert len(r1) == len(r2)

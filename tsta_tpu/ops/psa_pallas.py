@@ -458,11 +458,27 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     a2d = jnp.asarray(
         a_padded.astype(np.int32).reshape(n_pad // LANES, LANES))
     bcol = jnp.asarray(b_padded.astype(np.int32).reshape(m_pad, 1))
+    # one fused dispatch: DP kernel -> plane slice -> device walk; the
+    # np.asarray reads below are the single host sync (each extra sync
+    # costs a ~30 ms round-trip on the tunneled TPU)
+    score, corner, moves, count = _traced_chain(
+        a2d, bcol, n_pad, m_pad, m_real, n_real, p)
+    moves_np = np.asarray(moves)[:int(count)]
+    aln = tb.emit_alignment(moves_np, a, b, n_real, m_real)
+    return int(score), int(corner), aln
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "m_real", "n_real",
+                                    "params"))
+def _traced_chain(a2d, bcol, n_pad, m_pad, m_real, n_real, params):
+    from tsta_tpu.ops import traceback as tb
+
     score, corner, _, plane = _psa_pallas(a2d, bcol, n_pad, m_pad, m_real,
-                                          n_real, p, True)
+                                          n_real, params, True)
     plane2d = plane.reshape(m_pad, n_pad)[:m_real, :n_real]
-    aln = tb.decode_pair_device(plane2d, a, b)
-    return int(score[0, 0]), int(corner[0, 0]), aln
+    moves, count = tb._decode_moves(plane2d, m_real, n_real)
+    return score[0, 0], corner[0, 0], moves, count
 
 
 # ---------------------------------------------------------------------

@@ -194,24 +194,18 @@ def decode_pair_device(plane, a: np.ndarray, b: np.ndarray) -> Alignment:
     m, n = int(plane.shape[0]), int(plane.shape[1])
     moves, count = _decode_moves(plane, m, n)
     moves = np.asarray(moves)[:int(count)]
-    # moves run from the end of the alignment backwards
+    return emit_alignment(moves, a, b, n, m)
+
+
+def emit_alignment(moves: np.ndarray, a: np.ndarray, b: np.ndarray,
+                   n: int, m: int) -> Alignment:
+    """Vectorised move-list -> aligned strings (moves run backwards from
+    the alignment end; 1=diag, 0=left/gap-in-b, 2=up/gap-in-a)."""
     gap = ord("-")
-    out_a = np.empty(len(moves), np.uint8)
-    out_b = np.empty(len(moves), np.uint8)
-    ai = n - 1
-    bi = m - 1
-    for t, mv in enumerate(moves):
-        if mv == 1:
-            out_a[t] = a[ai]
-            out_b[t] = b[bi]
-            ai -= 1
-            bi -= 1
-        elif mv == 0:
-            out_a[t] = a[ai]
-            out_b[t] = gap
-            ai -= 1
-        else:
-            out_a[t] = gap
-            out_b[t] = b[bi]
-            bi -= 1
+    ca = moves != 2                      # consumes a
+    cb = moves != 0                      # consumes b
+    ai = n - 1 - (np.cumsum(ca) - ca)    # exclusive prefix
+    bi = m - 1 - (np.cumsum(cb) - cb)
+    out_a = np.where(ca, a[np.clip(ai, 0, n - 1)], gap).astype(np.uint8)
+    out_b = np.where(cb, b[np.clip(bi, 0, m - 1)], gap).astype(np.uint8)
     return Alignment(out_a[::-1].tobytes(), out_b[::-1].tobytes())
