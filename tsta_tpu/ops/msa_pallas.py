@@ -54,7 +54,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 nreal_ref,
                 a_ref,
                 words_ref, scores_ref, hbuf_ref, ebuf_ref,
-                hp_ref, ep_ref, stage_ref, stage16_ref, sem,
+                hp_ref, ep_ref, stage_ref, stage16_ref, e_stage_ref,
+                gsem, wsem,
                 *, NB, Rp, W, max_in, params):
     # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
     # minor dim to a full lane tile, so an (N, 1) table would occupy
@@ -95,22 +96,59 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         res = jnp.where(lane0m, a2, a1)
         return jnp.where(origin, fill, res)
 
-    def node_body(i, _):
+    def node_body(i, carry):
+        h_carry, e_carry = carry     # previous node's H/E rows
         ig = blk * NB + i            # global node row
-        # ---- gather predecessor state (ring slots) -------------------
+        # chain fast path: single pred == previous node -> its rows are
+        # already in registers; ~90% of POA nodes, saves both gathers
+        chain = jnp.logical_and(preds_ref[0, i] == ig,
+                                pmask_ref[0, i] != 0)
+        if max_in > 1:
+            chain = jnp.logical_and(chain, pmask_ref[1, i] == 0)
+        # the register carry does not cross grid steps: first node of a
+        # block always gathers
+        chain = jnp.logical_and(chain, i > 0)
+        # wait for the PREVIOUS node's state writes first: a distance-1
+        # multi-pred gather reads the slot they target, so they must
+        # complete before any gather STARTS.  The writes were launched a
+        # full iteration ago, so this wait is normally free.
+        @pl.when(ig > 0)
+        def _wait_writes():
+            pltpu.make_async_copy(stage16_ref.at[0],
+                                  words_ref.at[jnp.maximum(ig - 1, 0)],
+                                  wsem.at[0]).wait()
+            pltpu.make_async_copy(stage_ref.at[0],
+                                  hbuf_ref.at[ig % W], wsem.at[1]).wait()
+            pltpu.make_async_copy(e_stage_ref.at[0],
+                                  ebuf_ref.at[ig % W], wsem.at[2]).wait()
+
+        # ---- gather predecessor state (ring slots); all DMAs start
+        # before any wait so their latencies overlap ------------------
         for kk in range(max_in):
             pr = preds_ref[kk, i]                 # buffer id; 0 = virtual
+            need = jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0)
+            if kk == 0:
+                need = jnp.logical_and(need, jnp.logical_not(chain))
 
-            @pl.when(jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0))
-            def _gather(kk=kk, pr=pr):
-                cp = pltpu.make_async_copy(
-                    hbuf_ref.at[pr % W], hp_ref.at[kk], sem)
-                cp.start()
-                cp.wait()
-                cp = pltpu.make_async_copy(
-                    ebuf_ref.at[pr % W], ep_ref.at[kk], sem)
-                cp.start()
-                cp.wait()
+            @pl.when(need)
+            def _start(kk=kk, pr=pr):
+                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
+                                      gsem.at[2 * kk]).start()
+                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
+                                      gsem.at[2 * kk + 1]).start()
+
+        for kk in range(max_in):
+            pr = preds_ref[kk, i]
+            need = jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0)
+            if kk == 0:
+                need = jnp.logical_and(need, jnp.logical_not(chain))
+
+            @pl.when(need)
+            def _wait(kk=kk, pr=pr):
+                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
+                                      gsem.at[2 * kk]).wait()
+                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
+                                      gsem.at[2 * kk + 1]).wait()
 
         # ---- per-pred reduction (first-max-wins, as jnp.argmax) ------
         hbest = jnp.full((Rp, LANES), NEG32, jnp.int32)
@@ -126,6 +164,9 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
             virt = pr == 0
             hp = jnp.where(virt, h_virtual, hp_ref[kk])
             ep = jnp.where(virt, NEG32, ep_ref[kk])
+            if kk == 0:
+                hp = jnp.where(chain, h_carry, hp)
+                ep = jnp.where(chain, e_carry, ep)
             hp = jnp.where(valid, hp, NEG32)
             ep = jnp.where(valid, ep, NEG32)
             upd = hp > hbest
@@ -183,30 +224,40 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # predecessors, c-t-simd.c:451-456).
         word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
             | (eargm << 10)
+        # start all three state writes; the NEXT node waits on them
+        # (their latencies overlap each other and the loop tail)
         stage16_ref[0] = word.astype(jnp.int16)
-        cp = pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[ig],
-                                   sem)
-        cp.start()
-        cp.wait()
+        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[ig],
+                              wsem.at[0]).start()
+        stage_ref[0] = h_row
+        pltpu.make_async_copy(stage_ref.at[0],
+                              hbuf_ref.at[(ig + 1) % W],
+                              wsem.at[1]).start()
+        e_stage_ref[0] = e_row
+        pltpu.make_async_copy(e_stage_ref.at[0],
+                              ebuf_ref.at[(ig + 1) % W],
+                              wsem.at[2]).start()
 
         # sink score at column n_real-1
         scores_ref[0, i] = jnp.max(
             jnp.where(corner_mask, h_row, NEG32))
+        return h_row, e_row
 
-        # write this node's state into its ring slot
-        stage_ref[0] = h_row
-        cp = pltpu.make_async_copy(stage_ref.at[0],
-                                   hbuf_ref.at[(ig + 1) % W], sem)
-        cp.start()
-        cp.wait()
-        stage_ref[0] = e_row
-        cp = pltpu.make_async_copy(stage_ref.at[0],
-                                   ebuf_ref.at[(ig + 1) % W], sem)
-        cp.start()
-        cp.wait()
-        return 0
+    h_c0 = jnp.full((Rp, LANES), NEG32, jnp.int32)
+    e_c0 = jnp.full((Rp, LANES), NEG32, jnp.int32)
+    jax.lax.fori_loop(0, NB, node_body, (h_c0, e_c0))
 
-    jax.lax.fori_loop(0, NB, node_body, 0)
+    @pl.when(blk == pl.num_programs(0) - 1)
+    def _drain():
+        last = blk * NB + NB - 1
+        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
+                              wsem.at[0]).wait()
+        pltpu.make_async_copy(stage_ref.at[0],
+                              hbuf_ref.at[(last + 1) % W],
+                              wsem.at[1]).wait()
+        pltpu.make_async_copy(e_stage_ref.at[0],
+                              ebuf_ref.at[(last + 1) % W],
+                              wsem.at[2]).wait()
 
 
 @functools.partial(jax.jit,
@@ -256,9 +307,11 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
         scratch_shapes=[
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
-            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # DMA staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # H staging
             pltpu.VMEM((1, Rp, LANES), jnp.int16),        # word staging
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # E staging
+            pltpu.SemaphoreType.DMA((2 * max_in,)),       # gather sems
+            pltpu.SemaphoreType.DMA((3,)),                # write sems
         ],
     )(preds, pmask, bases, hm1p, hm1own, nreal, a2d)
     return words, scores
@@ -318,7 +371,6 @@ def _prepare(g, params):
     msa_native._prepare_round but flattens boundaries per pred)."""
     order = g.topo
     N_real = len(order)
-    pos = {v: i for i, v in enumerate(order)}
     max_in = max(1, max(len(g.preds[v]) for v in order))
     if max_in > 64:
         raise ValueError(
@@ -334,26 +386,40 @@ def _prepare(g, params):
     N = bucket(N_real)
     nb = _node_block(N)
     N = -(-N // nb) * nb
+    e_, o_ = params.gap_extend, params.gap_open
+
+    # vectorised dense tensors (the per-node Python loop was a visible
+    # host fraction at 50k+ nodes); pred ORDER is preserved -- the
+    # argmax tie-breaking depends on it
+    order_arr = np.asarray(order, np.int64)
+    pos = np.empty(len(g), np.int64)
+    pos[order_arr] = np.arange(N_real)
+    lens = np.fromiter((len(g.preds[v]) for v in order), np.int64,
+                       N_real)
+    n_edges = int(lens.sum())
+    flat = np.fromiter((pv for v in order for pv in g.preds[v]),
+                       np.int64, n_edges)
+    rowi = np.repeat(np.arange(N_real), lens)
+    coli = np.arange(n_edges) - np.repeat(np.cumsum(lens) - lens, lens)
     preds = np.zeros((N, max_in), np.int32)
     pmask = np.zeros((N, max_in), np.int32)
+    preds[rowi, coli] = pos[flat] + 1
+    pmask[rowi, coli] = 1
+    src_rows = np.where(lens == 0)[0]
+    pmask[src_rows, 0] = 1            # sources read the virtual row 0
     bases = np.zeros((N, 1), np.int32)
+    bases[:N_real, 0] = np.asarray(g.bases, np.int32)[order_arr]
+    maxdist = int(max(1, (rowi - pos[flat]).max())) if n_edges else 1
+    # boundary H(v,-1) follows the shortest pred chain: a sequential
+    # topo recurrence (kept as the one remaining loop)
     hm1 = np.full((N + 1,), NEG, np.int64)
     hm1[0] = 0
-    e_, o_ = params.gap_extend, params.gap_open
-    maxdist = 1
-    for i, v in enumerate(order):
-        bases[i, 0] = g.bases[v]
-        ps = g.preds[v]
-        if not ps:
-            preds[i, 0] = 0
-            pmask[i, 0] = 1
+    for i in range(N_real):
+        li = lens[i]
+        if li == 0:
             hm1[i + 1] = o_ + e_
         else:
-            for k, pv in enumerate(ps):
-                preds[i, k] = pos[pv] + 1
-                pmask[i, k] = 1
-                maxdist = max(maxdist, (i + 1) - (pos[pv] + 1))
-            hm1[i + 1] = max(hm1[pos[pv] + 1] for pv in ps) + e_
+            hm1[i + 1] = hm1[preds[i, :li]].max() + e_
     hm1 = hm1.astype(np.int32)
     # per-pred boundary H(p,-1) and per-node own H(v,-1), (rows, N)
     hm1p = np.where(pmask.T != 0, hm1[preds.T], np.int32(NEG32))
