@@ -271,7 +271,11 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                and (kern == "poa" or jax.default_backend() == "tpu"))
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
-        if use_poa:
+        # the POA kernel packs pred indices into 6 bits; rounds whose
+        # graph exceeds 64 in-degree fall back to the scan engine
+        use_poa_round = use_poa and max(
+            (len(ps) for ps in g.preds), default=1) <= 64
+        if use_poa_round:
             # DP + best-sink + walk dispatch as one async device chain;
             # the np.asarray calls below are the round's single sync
             from tsta_tpu.ops import msa_pallas
