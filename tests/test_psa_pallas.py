@@ -60,3 +60,32 @@ def test_packed_batch_matches_oracle():
     for (a, b), s, c in zip(pairs, sc, co):
         ref = psa_scan.psa_align(a, b, (2, -5, -2, -4))
         assert int(ref.score) == s and int(ref.last) == c
+
+
+def test_banded_walk_matches_while_walk():
+    """The opt-in banded Pallas walk (ops/traceback._decode_moves_banded)
+    must agree with the lax.while_loop walk move-for-move."""
+    import jax.numpy as jnp
+
+    from tsta_tpu.ops import traceback as tb
+
+    rng = np.random.default_rng(3)
+    n, m = 300, 200
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = a[:m].copy()
+    b[rng.integers(0, m, 20)] = rng.integers(65, 69, 20).astype(np.uint8)
+    r = psa_pallas.psa_align(a, b, (2, -5, -2, -4), traced=True)
+    fcode = np.where(np.asarray(r.fback) < 0, 2,
+                     np.where(np.asarray(r.fback) == 2, 1, 0))
+    ecode = np.where(np.asarray(r.eback) < 0, 2,
+                     np.where(np.asarray(r.eback) == 2, 1, 0))
+    plane = jnp.asarray((np.asarray(r.back).astype(np.int32) * 9
+                         + fcode * 3 + ecode).astype(np.int8))
+    npad = (n + 127) // 128 * 128
+    mpad = (m + 31) // 8 * 8
+    pl_pad = jnp.zeros((mpad, npad), jnp.int8).at[:m, :n].set(plane)
+    mv1, c1 = tb._decode_moves(plane, m, n)
+    mv2, c2 = tb._decode_moves_banded(pl_pad, m, n, n_stride=npad)
+    assert int(c1) == int(c2)
+    assert np.array_equal(np.asarray(mv1)[:int(c1)],
+                          np.asarray(mv2)[:int(c2)])

@@ -476,8 +476,19 @@ def _traced_chain(a2d, bcol, n_pad, m_pad, m_real, n_real, params):
 
     score, corner, _, plane = _psa_pallas(a2d, bcol, n_pad, m_pad, m_real,
                                           n_real, params, True)
-    plane2d = plane.reshape(m_pad, n_pad)[:m_real, :n_real]
-    moves, count = tb._decode_moves(plane2d, m_real, n_real)
+    import os
+    if (os.environ.get("TSTA_BANDED_WALK")
+            and m_real >= 64 and 128 <= n_pad <= 16384):
+        # banded Pallas walk (opt-in): SMEM band prefetch would turn the
+        # ~3.6 us/step scalar HBM gathers into cheap SMEM word reads.
+        # Interpret-verified; still blocked on a Mosaic memref-slice
+        # alignment constraint on this toolchain (see ROADMAP).
+        plane2d = plane.reshape(m_pad, n_pad)
+        moves, count = tb._decode_moves_banded(plane2d, m_real, n_real,
+                                               n_stride=n_pad)
+    else:
+        plane2d = plane.reshape(m_pad, n_pad)[:m_real, :n_real]
+        moves, count = tb._decode_moves(plane2d, m_real, n_real)
     return score[0, 0], corner[0, 0], moves, count
 
 

@@ -209,3 +209,129 @@ def emit_alignment(moves: np.ndarray, a: np.ndarray, b: np.ndarray,
     out_a = np.where(ca, a[np.clip(ai, 0, n - 1)], gap).astype(np.uint8)
     out_b = np.where(cb, b[np.clip(bi, 0, m - 1)], gap).astype(np.uint8)
     return Alignment(out_a[::-1].tobytes(), out_b[::-1].tobytes())
+
+
+# ---------------------------------------------------------------------
+# Banded-window Pallas walk: the lax.while_loop walk above pays ~1.2 us
+# of scalar-HBM-gather latency per plane read (measured; 3 reads/step).
+# The walk's moves go up/left only, so a 64x128 band DMA'd into SMEM
+# serves >= 63 steps of cheap scalar reads before refetching.
+# ---------------------------------------------------------------------
+
+from jax.experimental import pallas as pl           # noqa: E402
+from jax.experimental.pallas import tpu as pltpu    # noqa: E402
+
+_BAND_R = 24   # band rows (multiple of 8: DMA sublane starts must align
+               # to the int32 tiling); full plane width per band
+
+
+def _walk_kernel(plane_ref, moves_ref, count_ref, band_ref, sem, *, m, n,
+                 m_rows, n_w):
+    """plane_ref: (m_rows, n_w) int32 (4 packed int8 cells per word,
+    m_rows a multiple of 8 covering the walked m rows); Mosaic SMEM
+    scalars must be i32, hence the word packing + byte extracts.  Bands
+    are full-width row blocks because HBM DMA slice starts must be
+    provably tile-aligned (dim0 multiple of 8; dim1 unsliced)."""
+
+    def refetch(i):
+        # aligned start covering rows i-1 and i: floor8(i-15) keeps
+        # i - bi in [15, 22] < _BAND_R
+        bi = pl.multiple_of(
+            jnp.clip(((i - (_BAND_R - 9)) // 8) * 8, 0,
+                     m_rows - _BAND_R), 8)
+        cp = pltpu.make_async_copy(
+            plane_ref.at[pl.ds(bi, _BAND_R)], band_ref, sem)
+        cp.start()
+        cp.wait()
+        return bi
+
+    def cell(li, j):
+        w = band_ref[li, j >> 2]
+        return (w >> ((j & 3) * 8)) & 0xFF
+
+    def cond(st):
+        i, j, t, forced, bi0 = st
+        return jnp.logical_or(i >= 0, j >= 0)
+
+    def body(st):
+        i, j, t, forced, bi0 = st
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        # reads touch rows i and i-1: refetch when either leaves the band
+        miss = jnp.logical_and(in_core, jnp.logical_or(
+            jnp.logical_and(i > 0, i - 1 < bi0),
+            jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)))
+
+        bi0 = jax.lax.cond(miss, lambda _: refetch(i),
+                           lambda _: bi0, None)
+
+        li = jnp.maximum(i - bi0, 0)
+        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0)), 0)
+        back = code // 9
+        f = (code // 3) % 3
+        e = code % 3
+        move = jnp.where(in_core,
+                         jnp.where(forced > 0, forced - 1, back),
+                         jnp.where(j >= 0, 0, 2))
+        fprev = jnp.where(
+            j > 0, (cell(li, jnp.maximum(j - 1, 0)) // 3) % 3, 0)
+        eprev = jnp.where(
+            i > 0, cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0)) % 3,
+            0)
+        force_left = jnp.logical_and(
+            move == 0,
+            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+        force_up = jnp.logical_and(
+            move == 2,
+            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+        forced_next = jnp.where(in_core,
+                                jnp.where(force_left, 1,
+                                          jnp.where(force_up, 3, 0)),
+                                0)
+        moves_ref[0, t] = move
+        di = jnp.where(move == 0, 0, 1)
+        dj = jnp.where(move == 2, 0, 1)
+        return i - di, j - dj, t + 1, forced_next, bi0
+
+    st = (jnp.int32(m - 1), jnp.int32(n - 1), jnp.int32(0),
+          jnp.int32(0), jnp.int32(m))   # bi0 = m forces the first fetch
+    i, j, t, _, _ = jax.lax.while_loop(cond, body, st)
+    count_ref[0, 0] = t
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "n_stride"))
+def _decode_moves_banded(plane, m, n, n_stride=None):
+    """Pallas walk with SMEM band prefetch; same contract as
+    _decode_moves.  ``plane`` is (m, n_stride) int8 with the walk
+    confined to the first n columns; requires m >= 64, n_stride >= 128
+    and n_stride % 4 == 0 (SMEM band is _BAND_R x n_stride/4 int32
+    words, so keep n_stride <= ~16k to stay inside the SMEM budget)."""
+    m_rows, n_stride2 = int(plane.shape[0]), int(plane.shape[1])
+    n_stride = n_stride or n_stride2
+    if m_rows % 8 or m_rows < _BAND_R:
+        raise ValueError("banded walk needs row count %% 8 == 0 and >= %d"
+                         % _BAND_R)
+    n_w = n_stride // 4
+    plane32 = jax.lax.bitcast_convert_type(
+        plane.reshape(m_rows, n_w, 4), jnp.int32)
+    kernel = functools.partial(_walk_kernel, m=m, n=n, m_rows=m_rows,
+                               n_w=n_w)
+    moves, count = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=(
+            jax.ShapeDtypeStruct((1, m + n), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((_BAND_R, n_w), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(plane32)
+    return moves[0].astype(jnp.int8), count[0, 0]
