@@ -135,7 +135,27 @@ def main():
     except Exception as e:  # keep the bench alive
         detail["psa_traced_error"] = str(e)[:200]
 
-    # --- 3. traced batch (device decode per pair) ----------------------
+    # --- 3. native MSA on TPU (scalable engine) ------------------------
+    try:
+        if time_left() < 100:
+            raise RuntimeError("skipped: bench budget")
+        note("native MSA on TPU (%ds left)..." % time_left())
+        from tsta_tpu.ops import msa_native
+        recs = list(read_fasta(EX + "/msa/seq/seq1.fa"))
+        seqs = [r.sequence for r in recs]
+        msa_native.align_seqs(seqs, params)   # warm (loads cached kernels)
+        t0 = time.perf_counter()
+        out_n = msa_native.align_seqs(seqs, params)
+        dt_nm = time.perf_counter() - t0
+        detail["msa_native_tpu_wall_s"] = round(dt_nm, 3)
+        gl = out_n.graph_len
+        nm_cells = sum(g * 5000 for g in [5000] + gl[:-1])
+        detail["msa_native_tpu_gcups"] = round(nm_cells / dt_nm / 1e9, 3)
+        note("native msa %.2fs" % dt_nm)
+    except Exception as e:
+        detail["msa_native_error"] = str(e)[:200]
+
+    # --- 4. traced batch (device decode per pair) ----------------------
     try:
         if time_left() < 150:
             raise RuntimeError("skipped: bench budget")
@@ -156,7 +176,7 @@ def main():
     except Exception as e:
         detail["psa_traced_batch_error"] = str(e)[:200]
 
-    # --- 4. short-read packed batch ------------------------------------
+    # --- 5. short-read packed batch ------------------------------------
     try:
         if time_left() < 120:
             raise RuntimeError("skipped: bench budget")
@@ -176,26 +196,6 @@ def main():
         note("packed %.2f GCUPS" % (nbs * lns * lns / dt_p / 1e9))
     except Exception as e:
         detail["psa_packed_error"] = str(e)[:200]
-
-    # --- 5. native MSA on TPU (scalable engine) ------------------------
-    try:
-        if time_left() < 100:
-            raise RuntimeError("skipped: bench budget")
-        note("native MSA on TPU (%ds left)..." % time_left())
-        from tsta_tpu.ops import msa_native
-        recs = list(read_fasta(EX + "/msa/seq/seq1.fa"))
-        seqs = [r.sequence for r in recs]
-        msa_native.align_seqs(seqs, params)   # warm (loads cached kernels)
-        t0 = time.perf_counter()
-        out_n = msa_native.align_seqs(seqs, params)
-        dt_nm = time.perf_counter() - t0
-        detail["msa_native_tpu_wall_s"] = round(dt_nm, 3)
-        gl = out_n.graph_len
-        nm_cells = sum(g * 5000 for g in [5000] + gl[:-1])
-        detail["msa_native_tpu_gcups"] = round(nm_cells / dt_nm / 1e9, 3)
-        note("native msa %.2fs" % dt_nm)
-    except Exception as e:
-        detail["msa_native_error"] = str(e)[:200]
 
     # --- 6. MSA compat engine (bit-exact CPU path) ---------------------
     try:
