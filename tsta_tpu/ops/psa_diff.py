@@ -59,6 +59,8 @@ LANES = 128
 T_R = 256        # rows per grid step
 K_REANCHOR = 16  # rows between anchor re-bases (must divide T_R)
 NEG32 = -(2 ** 28)
+P_CAP = 16       # max pairs per packed group (per-pair select chain and
+                 # the unrolled finish loop grow with P)
 S_TARGET = 384   # target packed sublane count per group.  Measured on
                  # 10kbp batches: P=4 groups pipeline better than one
                  # P=16 mega-group at nb=16 (12.0 vs 9.9 GCUPS); P=16
@@ -633,7 +635,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
     n_pad = (max(n_real) + LANES - 1) // LANES * LANES
     m_pad = (max(m_real) + T_R - 1) // T_R * T_R
     Rp = n_pad // LANES
-    P = max(1, min(B, 16, S_TARGET // Rp if Rp <= S_TARGET else 1))
+    P = max(1, min(B, P_CAP, S_TARGET // Rp if Rp <= S_TARGET else 1))
     if use_int16 and (P * Rp) % 2:
         # the int16 bitcast-roll needs an even sublane count
         n_pad += LANES

@@ -320,7 +320,11 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
     moves, count = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # explicit HBM: with pl.ANY the compiler placed the 100 MB plane
+        # in VMEM and then failed tiling checks on the band slice
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+                  if not hasattr(pltpu, "HBM")
+                  else pl.BlockSpec(memory_space=pltpu.HBM)],
         out_shape=(
             jax.ShapeDtypeStruct((1, m + n), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
