@@ -133,3 +133,35 @@ def test_align_seqs_many_matches_single(monkeypatch):
         assert out.round_scores == ref.round_scores
         assert out.rows == ref.rows
         assert out.consensus == ref.consensus
+
+
+def test_align_seqs_many_falls_back_past_pred_cap(monkeypatch):
+    """A problem whose graph exceeds the POA kernel's 64-pred traceback
+    cap must fall back to the scan engine per round instead of aborting
+    the whole fleet."""
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    monkeypatch.setattr(msa_pallas, "round_dp_fused",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("POA path must not be used")))
+    # force the fallback by shrinking the cap check via a fake graph
+    # in-degree: monkeypatch max check is awkward, so drive through a
+    # crafted graph with >64 preds on one node
+    rng = np.random.default_rng(2)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 60).tobytes()
+    seqs = [base, _mutate(rng, base, 0.1), _mutate(rng, base, 0.1)]
+    from tsta_tpu.models.poa_graph import PoaGraph
+    orig_from = PoaGraph.from_sequence
+
+    def hacked(seq, n_seq):
+        g = orig_from(seq, n_seq)
+        # graft 65 extra predecessors onto the last node
+        tail = len(g) - 1
+        for _ in range(65):
+            w = g.add_node(ord("A"), 0)
+            g.add_edge(w, tail)
+        g.toposort()
+        return g
+
+    monkeypatch.setattr(PoaGraph, "from_sequence", staticmethod(hacked))
+    outs = msa_native.align_seqs_many([seqs], AlignParams())
+    assert len(outs) == 1 and len(outs[0].round_scores) == 2

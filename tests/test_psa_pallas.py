@@ -89,3 +89,25 @@ def test_banded_walk_matches_while_walk():
     assert int(c1) == int(c2)
     assert np.array_equal(np.asarray(mv1)[:int(c1)],
                           np.asarray(mv2)[:int(c2)])
+
+
+def test_traced_device_bucket_shares_compile():
+    """Real lengths are traced (SMEM) in the fused traced chain: pairs
+    of different real lengths inside one padded bucket must both decode
+    correctly through the same compiled program."""
+    from tsta_tpu.ops import traceback as tb
+    rng = np.random.default_rng(8)
+    for n, m in [(100, 70), (120, 90)]:   # same (128, 256) padded bucket
+        a = rng.integers(65, 69, n).astype(np.uint8)
+        b = rng.integers(65, 69, m).astype(np.uint8)
+        sc, co, aln = psa_pallas.psa_align_traced_device(a, b,
+                                                         (2, -5, -2, -4))
+        ref = psa_scan.psa_align(a, b, (2, -5, -2, -4))
+        assert (int(ref.score), int(ref.last)) == (sc, co)
+        assert aln.a_row.replace(b"-", b"") == a.tobytes()
+        assert aln.b_row.replace(b"-", b"") == b.tobytes()
+        from tsta_tpu.config import AlignParams
+        # the emitted alignment is the full corner-to-corner path, so
+        # its re-score equals the corner, not the matrix max
+        assert tb.score_alignment(aln.a_row, aln.b_row,
+                                  AlignParams()) == co

@@ -69,6 +69,9 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
         params.match, params.mismatch, params.gap_extend, params.gap_open,
         width, threads, ctypes.byref(res))
     if rc != 0:
+        # free the result arrays tsta_msa_run calloc'd before failing
+        # (rows/msa/consensus are zero-initialised, so free is safe)
+        lib.tsta_msa_free(ctypes.byref(res))
         if rc == -2:
             raise RuntimeError(
                 "compat MSA engine: a graph node's in-degree exceeded the "

@@ -852,7 +852,9 @@ static int round_dp(Ctx* c) {
   if (nthreads < 1) nthreads = 1;
 #endif
   Scratch* pool = (Scratch*)calloc(nthreads, sizeof(Scratch));
-  int err = 0; /* sticky flag; worst case several threads store 1 */
+  int err = 0; /* stores are atomic (threads may race each other); the
+                * outer-loop read happens after the parallel region's
+                * implicit barrier, so it never races the writes */
   int j = 0;
   for (int i = 0; i < tsl && !err; i++) {
     if (i <= c->fmaxtag)
@@ -887,6 +889,9 @@ static int round_dp(Ctx* c) {
         int a2 = a1 + r;
         if (a2 >= g->len) break;
         if (row_block(c, i, j, l, g->sorted[a2], nv, &pool[tid]) != 0) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
           err = 1;
           break;
         }

@@ -372,9 +372,41 @@ def align_seqs_many(seq_sets: List[List[bytes]],
             "pending": None,
         })
 
+    def scan_round(st, seq_no, seq):
+        """Fallback round via the per-node scan engine (used when the
+        POA kernel's 64-pred traceback cap is exceeded; same condition
+        align_seqs guards per round)."""
+        g = st["g"]
+        (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
+         order) = _prepare_round(g, params)
+        p = (params.match, params.mismatch, params.gap_extend,
+             params.gap_open)
+        n_real = len(seq)
+        n = bucket(n_real)
+        a = np.zeros((n,), np.uint8)
+        a[:n_real] = np.frombuffer(seq, np.uint8)
+        ss, packed, hp, ep = _round_dp(
+            jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
+            jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
+            jnp.int32(n_real), p, N, n, max_in)
+        ss = np.asarray(ss)
+        sinks = set(g.sinks())
+        rows = [i for i, v in enumerate(order) if v in sinks]
+        best = max(rows, key=lambda i: ss[i])
+        st["scores"].append(int(ss[best]))
+        st["alen"].append(_fuse(g, seq, seq_no, order,
+                                np.asarray(packed), np.asarray(hp),
+                                np.asarray(ep), preds, best))
+        st["glen"].append(len(g))
+        g.toposort()
+        st["next"] += 1
+
     def dispatch(st):
         seq_no = st["reads"][st["next"]]
         seq = bytes(st["seqs"][seq_no])
+        if max((len(ps) for ps in st["g"].preds), default=1) > 64:
+            scan_round(st, seq_no, seq)   # synchronous fallback round
+            return
         st["pending"] = (seq_no, seq,
                          msa_pallas.round_dp_fused(st["g"], seq, params))
 
@@ -387,6 +419,8 @@ def align_seqs_many(seq_sets: List[List[bytes]],
         active = False
         for st in states:
             if st["pending"] is None:
+                # a synchronous fallback round may still have work left
+                active = active or st["next"] < len(st["reads"])
                 continue
             active = True
             seq_no, seq, (scores_d, align_d, best_d, order) = st["pending"]

@@ -247,8 +247,8 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         corner32 = corner32_ref[:]
         for p_ in range(P):
             sl = slice(p_ * Rp, (p_ + 1) * Rp)
-            score_ref[gidx * P + p_, 0] = jnp.max(best32[sl, 0])
-            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+            score_ref[0, gidx * P + p_] = jnp.max(best32[sl, 0])
+            corner_ref[0, gidx * P + p_] = jnp.max(corner32[sl, 0])
 
 
 def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
@@ -378,8 +378,8 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         corner32 = corner32_ref[:]
         for p_ in range(P):
             sl = slice(p_ * Rp, (p_ + 1) * Rp)
-            score_ref[gidx * P + p_, 0] = jnp.max(best[sl])
-            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+            score_ref[0, gidx * P + p_] = jnp.max(best[sl])
+            corner_ref[0, gidx * P + p_] = jnp.max(corner32[sl, 0])
 
 
 def _striped_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
@@ -527,8 +527,8 @@ def _striped_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         corner32 = corner32_ref[:]
         for p_ in range(P):
             sl = slice(p_ * Sp, (p_ + 1) * Sp)
-            score_ref[gidx * P + p_, 0] = jnp.max(best[sl])
-            corner_ref[gidx * P + p_, 0] = jnp.max(corner32[sl, 0])
+            score_ref[0, gidx * P + p_] = jnp.max(best[sl])
+            corner_ref[0, gidx * P + p_] = jnp.max(corner32[sl, 0])
 
 
 @functools.partial(jax.jit,
@@ -582,9 +582,12 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
             pl.BlockSpec((T_R, 1), lambda g, i: (g * nblk + i, 0),
                          memory_space=pltpu.SMEM),     # corner-row flags
         ],
+        # (1, G*P): SMEM pads the MINOR dim to a lane tile, so a
+        # (G*P, 1) layout would cost 512 bytes/pair and overflow the
+        # ~1 MB SMEM budget around 2k pairs per bucket
         out_shape=(
-            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),   # scores
-            jax.ShapeDtypeStruct((G * P, 1), jnp.int32),   # corners
+            jax.ShapeDtypeStruct((1, G * P), jnp.int32),   # scores
+            jax.ShapeDtypeStruct((1, G * P), jnp.int32),   # corners
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -698,6 +701,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as PS
         spec = PS("data")
+        out_spec = PS(None, "data")   # scores/corners are (1, G_local*P)
 
         def shard_fn(a_, b_, c_, m_, f_):
             return _psa_diff_call(a_, b_, c_, m_, f_, n_pad, m_pad, P, p,
@@ -707,6 +711,6 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
         # metadata, which trips jax>=0.9's shard_map vma check; the body
         # is trivially SPMD (no collectives), so the check adds nothing
         fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 5,
-                       out_specs=(spec, spec), check_vma=False)
+                       out_specs=(out_spec, out_spec), check_vma=False)
         scores, corners = fn(*args)
-    return np.asarray(scores)[:B, 0], np.asarray(corners)[:B, 0]
+    return np.asarray(scores)[0, :B], np.asarray(corners)[0, :B]

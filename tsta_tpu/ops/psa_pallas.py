@@ -49,10 +49,16 @@ LANES = 128
 T_R = 256  # rows per grid step
 
 
-def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
+def _kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref, last_ref,
+            plane_ref,
             h_ref, e_ref, best_ref, last_acc_ref,
-            *, R, m_real, n_real, params, traced):
+            *, R, params, traced):
     m_, x_, e_, o_ = params
+    # real lengths are TRACED (SMEM) so one compile serves every pair of
+    # a padded bucket -- with static lengths a varied-length traced
+    # manifest triggered a fresh multi-minute remote compile per pair
+    n_real = nm_ref[0, 0]
+    m_real = nm_ref[0, 1]
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -150,14 +156,14 @@ def _kernel(b_ref, a_ref, score_ref, corner_ref, last_ref, plane_ref,
         score_ref[0, 0] = jnp.max(best_ref[:])
         last = last_acc_ref[:]
         last_ref[:] = last
-        corner_ref[0, 0] = last[(n_real - 1) // LANES,
-                                (n_real - 1) % LANES]
+        corner_ref[0, 0] = jnp.max(
+            jnp.where(col_idx == n_real - 1, last, NEG))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "m_pad", "m_real", "n_real",
-                                    "params", "traced"))
-def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
+                   static_argnames=("n_pad", "m_pad", "params", "traced"))
+def _psa_pallas(a2d, bcol, nm, n_pad, m_pad, params, traced):
+    """nm: (1, 2) int32 = [n_real, m_real] (traced)."""
     R = n_pad // LANES
     grid = (m_pad // T_R,)
     out_shape = [
@@ -177,13 +183,13 @@ def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
             pl.BlockSpec((T_R, R, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_kernel, R=R, m_real=m_real, n_real=n_real,
-                               params=params, traced=traced)
+    kernel = functools.partial(_kernel, R=R, params=params, traced=traced)
     if not traced:
-        def kernel_nt(b_ref, a_ref, score_ref, corner_ref, last_ref,
-                      h_ref, e_ref, best_ref, last_acc_ref):
-            return kernel(b_ref, a_ref, score_ref, corner_ref, last_ref,
-                          None, h_ref, e_ref, best_ref, last_acc_ref)
+        def kernel_nt(nm_ref, b_ref, a_ref, score_ref, corner_ref,
+                      last_ref, h_ref, e_ref, best_ref, last_acc_ref):
+            return kernel(nm_ref, b_ref, a_ref, score_ref, corner_ref,
+                          last_ref, None, h_ref, e_ref, best_ref,
+                          last_acc_ref)
         body = kernel_nt
     else:
         body = kernel
@@ -194,6 +200,8 @@ def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
         grid=grid,
         interpret=interpret,
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),          # n/m real
             pl.BlockSpec((T_R, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),          # b rows
             pl.BlockSpec((R, LANES), lambda i: (0, 0),
@@ -207,7 +215,7 @@ def _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, params, traced):
             pltpu.VMEM((R, LANES), jnp.int32),   # vector best accumulator
             pltpu.VMEM((R, LANES), jnp.int32),   # last real row capture
         ],
-    )(bcol, a2d)
+    )(nm, bcol, a2d)
 
 
 # host-side unpack tables: packed = back*9 + f*3 + e with
@@ -241,7 +249,8 @@ def psa_align(a: np.ndarray, b: np.ndarray, params, traced: bool = False
     a2d = jnp.asarray(
         a_padded.astype(np.int32).reshape(n_pad // LANES, LANES))
     bcol = jnp.asarray(b_padded.astype(np.int32).reshape(m_pad, 1))
-    out = _psa_pallas(a2d, bcol, n_pad, m_pad, m_real, n_real, p, traced)
+    nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
+    out = _psa_pallas(a2d, bcol, nm, n_pad, m_pad, p, traced)
     if traced:
         score, corner, _, plane = out
         plane = np.asarray(plane).reshape(m_pad, n_pad)[:m_real, :n_real]
@@ -388,11 +397,13 @@ def psa_align_batch(seq_pairs, params):
     externally or padded here to the common max.  Returns (scores,
     corners) int32 arrays.
 
-    Routing: the int16 difference kernel (ops/psa_diff.py) handles every
-    bucket when the parameters are within its exactness bound (always,
-    for realistic scoring); the int32 kernels below remain as the
-    fallback for exotic parameters and as differential-test oracles.
-    Set TSTA_NO_DIFF_KERNEL=1 to force the int32 path."""
+    Routing: the packed int32 kernel (ops/psa_diff.py, P pairs per
+    launch for any length) handles every bucket with sane-signed
+    parameters; the round-1 kernels below remain as fallbacks for
+    exotic parameters and as differential-test oracles.  Set
+    TSTA_NO_DIFF_KERNEL=1 to force the round-1 path.  (psa_diff also
+    carries the int16 difference-method variant, currently blocked on
+    the TPU toolchain -- see its module docstring.)"""
     import os
 
     from tsta_tpu.ops import psa_diff
@@ -460,34 +471,43 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     bcol = jnp.asarray(b_padded.astype(np.int32).reshape(m_pad, 1))
     # one fused dispatch: DP kernel -> plane slice -> device walk; the
     # np.asarray reads below are the single host sync (each extra sync
-    # costs a ~30 ms round-trip on the tunneled TPU)
+    # costs a ~30 ms round-trip on the tunneled TPU).  The banded-walk
+    # opt-in is resolved HERE (a static jit arg), not inside the traced
+    # function, so toggling the env between calls is honored.
+    import os
+    banded = bool(os.environ.get("TSTA_BANDED_WALK")
+                  and m_real >= 64 and 128 <= n_pad <= 16384)
+    nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
     score, corner, moves, count = _traced_chain(
-        a2d, bcol, n_pad, m_pad, m_real, n_real, p)
+        a2d, bcol, nm, n_pad, m_pad, p, banded)
     moves_np = np.asarray(moves)[:int(count)]
     aln = tb.emit_alignment(moves_np, a, b, n_real, m_real)
     return int(score), int(corner), aln
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "m_pad", "m_real", "n_real",
-                                    "params"))
-def _traced_chain(a2d, bcol, n_pad, m_pad, m_real, n_real, params):
+                   static_argnames=("n_pad", "m_pad", "params", "banded"))
+def _traced_chain(a2d, bcol, nm, n_pad, m_pad, params, banded=False):
+    """One compile per PADDED bucket: real lengths ride in ``nm``
+    (traced), so a varied-length traced manifest no longer triggers a
+    remote compile per pair."""
     from tsta_tpu.ops import traceback as tb
 
-    score, corner, _, plane = _psa_pallas(a2d, bcol, n_pad, m_pad, m_real,
-                                          n_real, params, True)
-    import os
-    if (os.environ.get("TSTA_BANDED_WALK")
-            and m_real >= 64 and 128 <= n_pad <= 16384):
+    score, corner, _, plane = _psa_pallas(a2d, bcol, nm, n_pad, m_pad,
+                                          params, True)
+    m_real = nm[0, 1]
+    n_real = nm[0, 0]
+    plane2d = plane.reshape(m_pad, n_pad)
+    if banded:
         # banded Pallas walk (opt-in): SMEM band prefetch would turn the
         # ~3.6 us/step scalar HBM gathers into cheap SMEM word reads.
         # Interpret-verified; still blocked on a Mosaic memref-slice
         # alignment constraint on this toolchain (see ROADMAP).
-        plane2d = plane.reshape(m_pad, n_pad)
         moves, count = tb._decode_moves_banded(plane2d, m_real, n_real,
                                                n_stride=n_pad)
     else:
-        plane2d = plane.reshape(m_pad, n_pad)[:m_real, :n_real]
+        # walk the FULL padded plane from the (traced) real corner; the
+        # walk never reads beyond (m_real-1, n_real-1)
         moves, count = tb._decode_moves(plane2d, m_real, n_real)
     return score[0, 0], corner[0, 0], moves, count
 

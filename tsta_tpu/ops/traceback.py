@@ -121,15 +121,18 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n"))
+@jax.jit
 def _decode_moves(plane, m, n):
-    """plane: (m, n) int8 packed as back*9 + f*3 + e (psa_pallas packing).
+    """plane: int8 packed as back*9 + f*3 + e (psa_pallas packing);
+    may be padded beyond (m, n) -- the walk starts at (m-1, n-1) and
+    never reads outside.  ``m``/``n`` may be TRACED so one compile
+    serves every pair of a padded bucket.
 
     Returns (moves, count): moves[t] in {0:left, 1:diag, 2:up}, emitted
-    from the walk start (i=m-1, j=n-1); count = number of moves until
-    both i and j are exhausted (boundary tails included).
+    from the walk start; count = number of moves until both i and j are
+    exhausted (boundary tails included).
     """
-    maxlen = m + n
+    maxlen = plane.shape[0] + plane.shape[1]
 
     def cond(st):
         i, j, t, forced, moves = st
@@ -176,8 +179,8 @@ def _decode_moves(plane, m, n):
         dj = jnp.where(move == 2, 0, 1)
         return i - di, j - dj, t + 1, forced_next, moves
 
-    i0 = jnp.int32(m - 1)
-    j0 = jnp.int32(n - 1)
+    i0 = jnp.asarray(m, jnp.int32) - 1
+    j0 = jnp.asarray(n, jnp.int32) - 1
     moves0 = jnp.zeros((maxlen,), jnp.int8)
     i, j, t, _, moves = jax.lax.while_loop(
         cond, body, (i0, j0, jnp.int32(0), jnp.int32(0), moves0))
@@ -225,13 +228,16 @@ _BAND_R = 24   # band rows (multiple of 8: DMA sublane starts must align
                # to the int32 tiling); full plane width per band
 
 
-def _walk_kernel(plane_ref, moves_ref, count_ref, band_ref, sem, *, m, n,
-                 m_rows, n_w):
+def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
+                 *, m_rows, n_w):
     """plane_ref: (m_rows, n_w) int32 (4 packed int8 cells per word,
     m_rows a multiple of 8 covering the walked m rows); Mosaic SMEM
     scalars must be i32, hence the word packing + byte extracts.  Bands
     are full-width row blocks because HBM DMA slice starts must be
-    provably tile-aligned (dim0 multiple of 8; dim1 unsliced)."""
+    provably tile-aligned (dim0 multiple of 8; dim1 unsliced).  Real
+    lengths ride in nm_ref (SMEM, traced): one compile per shape."""
+    m = nm_ref[0, 1]
+    n = nm_ref[0, 0]
 
     def refetch(i):
         # aligned start covering rows i-1 and i: floor8(i-15) keeps
@@ -294,13 +300,13 @@ def _walk_kernel(plane_ref, moves_ref, count_ref, band_ref, sem, *, m, n,
         dj = jnp.where(move == 2, 0, 1)
         return i - di, j - dj, t + 1, forced_next, bi0
 
-    st = (jnp.int32(m - 1), jnp.int32(n - 1), jnp.int32(0),
-          jnp.int32(0), jnp.int32(m))   # bi0 = m forces the first fetch
+    st = (m - 1, n - 1, jnp.int32(0),
+          jnp.int32(0), jnp.asarray(m_rows, jnp.int32))  # forces 1st fetch
     i, j, t, _, _ = jax.lax.while_loop(cond, body, st)
     count_ref[0, 0] = t
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n", "n_stride"))
+@functools.partial(jax.jit, static_argnames=("n_stride",))
 def _decode_moves_banded(plane, m, n, n_stride=None):
     """Pallas walk with SMEM band prefetch; same contract as
     _decode_moves.  ``plane`` is (m, n_stride) int8 with the walk
@@ -315,18 +321,20 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
     n_w = n_stride // 4
     plane32 = jax.lax.bitcast_convert_type(
         plane.reshape(m_rows, n_w, 4), jnp.int32)
-    kernel = functools.partial(_walk_kernel, m=m, n=n, m_rows=m_rows,
-                               n_w=n_w)
+    nm = jnp.stack([jnp.asarray(n, jnp.int32),
+                    jnp.asarray(m, jnp.int32)]).reshape(1, 2)
+    kernel = functools.partial(_walk_kernel, m_rows=m_rows, n_w=n_w)
     moves, count = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
         # explicit HBM: with pl.ANY the compiler placed the 100 MB plane
         # in VMEM and then failed tiling checks on the band slice
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)
                   if not hasattr(pltpu, "HBM")
                   else pl.BlockSpec(memory_space=pltpu.HBM)],
         out_shape=(
-            jax.ShapeDtypeStruct((1, m + n), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_rows + n_stride), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         out_specs=(
@@ -337,5 +345,5 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
             pltpu.SMEM((_BAND_R, n_w), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(plane32)
+    )(nm, plane32)
     return moves[0].astype(jnp.int8), count[0, 0]

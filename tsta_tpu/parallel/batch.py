@@ -86,12 +86,13 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
         sharding = meshlib.data_sharding(mesh)
 
     from tsta_tpu.ops import psa_diff
+    # the sign guard above implies supports_params; the env knob is the
+    # only way to reach the round-1 int32 kernels (kept as oracles)
+    diff_ok = not os.environ.get("TSTA_NO_DIFF_KERNEL")
     if kernel == "auto":
         import jax
         # the packed kernel shards over the data axis via shard_map, so
         # a mesh no longer forces the scan path (round-1 verdict gap)
-        diff_ok = psa_diff.supports_params(params) and not os.environ.get(
-            "TSTA_NO_DIFF_KERNEL")
         kernel = ("pallas" if (not traced
                                and jax.default_backend() == "tpu"
                                and (mesh is None or diff_ok))
@@ -106,14 +107,14 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
         from tsta_tpu.ops import psa_pallas
         for (n, m), idxs in buckets.items():
             bucket_pairs = [prepped[i] for i in idxs]
-            if psa_diff.supports_params(params) and not os.environ.get(
-                    "TSTA_NO_DIFF_KERNEL"):
+            if diff_ok:
                 scores, corners = psa_diff.psa_align_batch_diff(
                     bucket_pairs, params, mesh=mesh)
             else:
                 if mesh is not None:
-                    raise ValueError("sharded pallas batches need "
-                                     "difference-kernel-compatible params")
+                    raise ValueError("sharded pallas batches need the "
+                                     "packed kernel (unset "
+                                     "TSTA_NO_DIFF_KERNEL)")
                 scores, corners = psa_pallas.psa_align_batch(bucket_pairs,
                                                              params)
             for pos, i in enumerate(idxs):
