@@ -88,3 +88,36 @@ def test_msa_fuzz_vs_binary(tmp_path, seed):
     my = tmp_path / "my.txt"
     msa.write_result(out, str(my))
     assert my.read_bytes() == ref_out.read_bytes()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_batch_kernel_fuzz_vs_binary(tmp_path, seed):
+    """The packed batch kernel's scores (round-2 production path) vs the
+    reference binary, run fresh per pair.  Lengths are L=160 multiples
+    (reference heap-padding quirk); swap semantics replicated by
+    align_batch."""
+    from tsta_tpu.parallel import batch as pbatch
+
+    rng = np.random.default_rng(3000 + seed)
+    pairs, expected = [], []
+    for k in range(5):
+        n = int(rng.integers(1, 6)) * 160
+        m = int(rng.integers(1, 6)) * 160
+        s1 = BASES[rng.integers(0, 4, n)].tobytes()
+        s2 = (_mutate(rng, s1) + BASES[rng.integers(0, 4, m)].tobytes())[:m]
+        f1 = tmp_path / ("a%d.fa" % k)
+        f2 = tmp_path / ("b%d.fa" % k)
+        f1.write_bytes(b">a\n" + s1 + b"\n")
+        f2.write_bytes(b">b\n" + s2 + b"\n")
+        r = subprocess.run(
+            [REF + "/TSTA_psa_notrace", "-1", str(f1), "-2", str(f2),
+             "-o", str(tmp_path / "o.txt")],
+            capture_output=True, check=True)
+        expected.append(int(r.stdout.split(b"=")[1]))
+        pairs.append((np.frombuffer(s1, np.uint8),
+                      np.frombuffer(s2, np.uint8)))
+    # kernel='pallas' routes through psa_diff (interpret mode on CPU)
+    res = pbatch.align_batch(pairs, AlignParams(), kernel="pallas")
+    got = [r.score for r in res]
+    assert got == expected
