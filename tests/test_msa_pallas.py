@@ -139,7 +139,8 @@ def test_align_seqs_many_falls_back_past_pred_cap(monkeypatch):
     """A problem whose graph exceeds the POA kernel's 64-pred traceback
     cap must fall back to the scan engine per round instead of aborting
     the whole fleet."""
-    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    # align_seqs_many always uses the POA chain except past the pred
+    # cap; the poisoned round_dp_fused proves the fallback never calls it
     monkeypatch.setattr(msa_pallas, "round_dp_fused",
                         lambda *a, **k: (_ for _ in ()).throw(
                             AssertionError("POA path must not be used")))

@@ -227,6 +227,36 @@ def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
     return _merge(g, seq, seq_no, order, align_rows)
 
 
+def _scan_engine_round(g: PoaGraph, seq: bytes, params: AlignParams):
+    """One round of DP via the per-node scan engine; returns the dense
+    results in the walk/fuse consumption layout."""
+    p = (params.match, params.mismatch, params.gap_extend,
+         params.gap_open)
+    (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
+     order) = _prepare_round(g, params)
+    n_real = len(seq)
+    n = bucket(n_real)
+    a = np.zeros((n,), np.uint8)
+    a[:n_real] = np.frombuffer(seq, np.uint8)
+    sink_scores, packed, h_pred, e_pred = _round_dp(
+        jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
+        jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
+        jnp.int32(n_real), p, N, n, max_in)
+    return (np.asarray(sink_scores), np.asarray(packed),
+            np.asarray(h_pred), np.asarray(e_pred), preds, order)
+
+
+def _select_and_fuse(g: PoaGraph, seq: bytes, seq_no: int, sink_scores,
+                     packed, h_pred, e_pred, preds, order):
+    """Pick the best sink and merge the read; returns (score, added)."""
+    sinks = set(g.sinks())
+    sink_rows = [i for i, v in enumerate(order) if v in sinks]
+    best_row = max(sink_rows, key=lambda i: sink_scores[i])
+    added = _fuse(g, seq, seq_no, order, packed, h_pred, e_pred, preds,
+                  best_row)
+    return int(sink_scores[best_row]), added
+
+
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                checkpoint_path: str | None = None, mesh=None):
     """Progressive POA MSA, device DP per round (native engine).
@@ -301,28 +331,13 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
             from tsta_tpu.parallel import msa_longseq
             (sink_scores, packed, h_pred, e_pred, order,
              preds) = msa_longseq.round_dp(g, bytes(seq), params, mesh)
-            n_real = len(seq)
         else:
-            (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
-             order) = _prepare_round(g, params)
-            n_real = len(seq)
-            n = bucket(n_real)
-            a = np.zeros((n,), np.uint8)
-            a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
-            sink_scores, packed, h_pred, e_pred = _round_dp(
-                jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
-                jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
-                jnp.int32(n_real), p, N, n, max_in)
-            sink_scores = np.asarray(sink_scores)
-            packed = np.asarray(packed)
-            h_pred = np.asarray(h_pred)
-            e_pred = np.asarray(e_pred)
-        sinks = set(g.sinks())
-        sink_rows = [i for i, v in enumerate(order) if v in sinks]
-        best_row = max(sink_rows, key=lambda i: sink_scores[i])
-        round_scores.append(int(sink_scores[best_row]))
-        added = _fuse(g, bytes(seq), seq_no, order, packed, h_pred,
-                      e_pred, preds, best_row)
+            (sink_scores, packed, h_pred, e_pred, preds,
+             order) = _scan_engine_round(g, bytes(seq), params)
+        score, added = _select_and_fuse(
+            g, bytes(seq), seq_no, sink_scores, packed, h_pred, e_pred,
+            preds, order)
+        round_scores.append(score)
         add_lens.append(added)
         graph_lens.append(len(g))
         g.toposort()
@@ -377,26 +392,10 @@ def align_seqs_many(seq_sets: List[List[bytes]],
         POA kernel's 64-pred traceback cap is exceeded; same condition
         align_seqs guards per round)."""
         g = st["g"]
-        (bases, preds, pmask, hm1, valid, N, N_real, max_in, pos,
-         order) = _prepare_round(g, params)
-        p = (params.match, params.mismatch, params.gap_extend,
-             params.gap_open)
-        n_real = len(seq)
-        n = bucket(n_real)
-        a = np.zeros((n,), np.uint8)
-        a[:n_real] = np.frombuffer(seq, np.uint8)
-        ss, packed, hp, ep = _round_dp(
-            jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
-            jnp.asarray(hm1), jnp.asarray(valid), jnp.asarray(a),
-            jnp.int32(n_real), p, N, n, max_in)
-        ss = np.asarray(ss)
-        sinks = set(g.sinks())
-        rows = [i for i, v in enumerate(order) if v in sinks]
-        best = max(rows, key=lambda i: ss[i])
-        st["scores"].append(int(ss[best]))
-        st["alen"].append(_fuse(g, seq, seq_no, order,
-                                np.asarray(packed), np.asarray(hp),
-                                np.asarray(ep), preds, best))
+        score, added = _select_and_fuse(
+            g, seq, seq_no, *_scan_engine_round(g, seq, params))
+        st["scores"].append(score)
+        st["alen"].append(added)
         st["glen"].append(len(g))
         g.toposort()
         st["next"] += 1

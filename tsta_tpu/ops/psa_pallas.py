@@ -475,8 +475,11 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     # opt-in is resolved HERE (a static jit arg), not inside the traced
     # function, so toggling the env between calls is honored.
     import os
-    banded = bool(os.environ.get("TSTA_BANDED_WALK")
-                  and m_real >= 64 and 128 <= n_pad <= 16384)
+    # "0"/"" disable; both m_pad and n_pad bound the banded kernel's
+    # SMEM (moves output is (1, m_pad + n_pad) int32 + the band)
+    banded = (os.environ.get("TSTA_BANDED_WALK", "0") not in ("", "0")
+              and m_real >= 64 and 128 <= n_pad <= 16384
+              and m_pad <= 16384)
     nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
     score, corner, moves, count = _traced_chain(
         a2d, bcol, nm, n_pad, m_pad, p, banded)
