@@ -695,22 +695,31 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
         scores, corners = _psa_diff_call(*args, n_pad, m_pad, P, p,
                                          use_int16, layout)
     else:
-        try:
-            from jax import shard_map  # jax >= 0.9
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as PS
-        spec = PS("data")
-        out_spec = PS(None, "data")   # scores/corners are (1, G_local*P)
-
-        def shard_fn(a_, b_, c_, m_, f_):
-            return _psa_diff_call(a_, b_, c_, m_, f_, n_pad, m_pad, P, p,
-                                  use_int16, layout)
-
-        # check_vma=False: pallas_call's out_shape carries no varying-axis
-        # metadata, which trips jax>=0.9's shard_map vma check; the body
-        # is trivially SPMD (no collectives), so the check adds nothing
-        fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 5,
-                       out_specs=(out_spec, out_spec), check_vma=False)
+        fn = _sharded_call(mesh, n_pad, m_pad, P, p, use_int16, layout)
         scores, corners = fn(*args)
     return np.asarray(scores)[0, :B], np.asarray(corners)[0, :B]
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_call(mesh, n_pad, m_pad, P, params, use_int16, layout):
+    """Cached jitted shard_map wrapper: rebuilding the closure per call
+    defeated jax's compilation cache (measured 16x slower on hardware,
+    re-tracing every call)."""
+    try:
+        from jax import shard_map  # jax >= 0.9
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+    spec = PS("data")
+    out_spec = PS(None, "data")   # scores/corners are (1, G_local*P)
+
+    def shard_fn(a_, b_, c_, m_, f_):
+        return _psa_diff_call(a_, b_, c_, m_, f_, n_pad, m_pad, P,
+                              params, use_int16, layout)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-axis
+    # metadata, which trips jax>=0.9's shard_map vma check; the body
+    # is trivially SPMD (no collectives), so the check adds nothing
+    return jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 5,
+                             out_specs=(out_spec, out_spec),
+                             check_vma=False))
