@@ -29,6 +29,10 @@ class PoaGraph:
     variants: List[List[int]] = dataclasses.field(default_factory=list)
     # derived (rebuilt by toposort)
     topo: List[int] = dataclasses.field(default_factory=list)
+    # incrementally maintained successor cache (succs() is on the hot
+    # host path several times per MSA round; None = rebuild on demand)
+    _succs: Optional[List[List[int]]] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def __len__(self) -> int:
         return len(self.bases)
@@ -43,6 +47,10 @@ class PoaGraph:
         p[seq_no] = True
         self.passing.append(p)
         self.variants.append([])
+        if self._succs is not None:
+            self._succs.append([])
+            for pv in self.preds[idx]:
+                self._succs[pv].append(idx)
         return idx
 
     def add_edge(self, src: int, dst: int, w: int = 1) -> None:
@@ -54,6 +62,8 @@ class PoaGraph:
         except ValueError:
             self.preds[dst].append(src)
             self.weights[dst].append(w)
+            if self._succs is not None:
+                self._succs[src].append(dst)
 
     @classmethod
     def from_sequence(cls, seq: bytes, n_seq: int) -> "PoaGraph":
@@ -66,11 +76,13 @@ class PoaGraph:
         return g
 
     def succs(self) -> List[List[int]]:
-        out: List[List[int]] = [[] for _ in range(len(self))]
-        for v, ps in enumerate(self.preds):
-            for p in ps:
-                out[p].append(v)
-        return out
+        if self._succs is None:
+            out: List[List[int]] = [[] for _ in range(len(self))]
+            for v, ps in enumerate(self.preds):
+                for p in ps:
+                    out[p].append(v)
+            self._succs = out
+        return self._succs
 
     def toposort(self) -> List[int]:
         """Deterministic Kahn order, keeping aligned-variant rings
@@ -118,11 +130,7 @@ class PoaGraph:
         return order
 
     def sinks(self) -> List[int]:
-        has_succ = np.zeros(len(self), dtype=bool)
-        for v, ps in enumerate(self.preds):
-            for p in ps:
-                has_succ[p] = True
-        return [v for v in range(len(self)) if not has_succ[v]]
+        return [v for v, ss in enumerate(self.succs()) if not ss]
 
     def consensus(self) -> bytes:
         """Heaviest-bundle consensus with the reference's re-scoring
@@ -137,10 +145,7 @@ class PoaGraph:
         n = len(self)
         topo = self.topo
         pos = {v: i for i, v in enumerate(topo)}
-        succs: List[List[int]] = [[] for _ in range(n)]
-        for v in range(n):
-            for p in self.preds[v]:
-                succs[p].append(v)
+        succs = self.succs()
         sinks = {v for v in range(n) if not succs[v]}
         score = [0] * n
         cfrom = [-1] * n
