@@ -429,8 +429,7 @@ def _prepare(g, params):
         W *= 2
     W = min(W, _next_pow2(N + 1))
     return (preds.T.copy(), pmask.T.copy(), bases.reshape(1, N),
-            hm1p.astype(np.int32), hm1own, N, max_in, W, pos, order,
-            preds)
+            hm1p.astype(np.int32), hm1own, N, max_in, W, order, preds)
 
 
 def _next_pow2(v):
@@ -457,19 +456,17 @@ def _best_and_walk(words, preds, scores, sink_mask, n_real, n):
     return best_row, align
 
 
-def round_dp_fused(g, seq: bytes, params):
-    """One MSA round fully on device: DP + best-sink + walk, one sync.
-
-    Returns (sink_scores (N_real,), align (n_real,), best_row int).
-    """
+def _dispatch_round(g, seq: bytes, params):
+    """Shared prep + kernel dispatch: returns
+    (words, scores, order, preds, n, n_real)."""
+    if len(seq) == 0:
+        raise ValueError("cannot align an empty read")
     p = (params.match, params.mismatch, params.gap_extend,
          params.gap_open)
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W, pos,
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
      order, preds) = _prepare(g, params)
     n_real = len(seq)
-    n = bucket(n_real)
-    if n % LANES:
-        n += LANES - n % LANES
+    n = bucket(n_real)   # bucket() returns LANES multiples already
     a = np.zeros((n,), np.uint8)
     a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
     a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
@@ -478,42 +475,44 @@ def round_dp_fused(g, seq: bytes, params):
         jnp.asarray(hm1p), jnp.asarray(hm1own),
         jnp.asarray([[n_real]], dtype=np.int32),
         a2d, N, n, W, max_in, p)
-    sinks = set(g.sinks())
-    sink_mask = np.zeros((N,), np.int32)
-    for i, v in enumerate(order):
-        if v in sinks:
-            sink_mask[i] = 1
+    return words, scores, order, preds, n, n_real
+
+
+def round_dp_fused(g, seq: bytes, params):
+    """One MSA round fully on device: DP + best-sink pick + traceback
+    walk dispatch as one async chain with a single host sync point.
+
+    Returns ``(scores, align, best_row, order)`` where ``scores`` is the
+    DEVICE (1, N) sink-score array (N = padded node count; index as
+    ``scores[0, row]``), ``align`` the device (n,) per-column aligned
+    node rows (slice to ``[:len(seq)]``), ``best_row`` the device scalar
+    best sink row, and ``order`` the topo node order.  The caller's
+    ``np.asarray``/``int()`` reads are the round's only blocking point.
+    """
+    words, scores, order, preds, n, n_real = _dispatch_round(
+        g, seq, params)
+    sink_mask = np.zeros((scores.shape[1],), np.int32)
+    sink_mask[:len(order)] = np.isin(
+        np.asarray(order, np.int64),
+        np.fromiter(g.sinks(), np.int64)).astype(np.int32)
     best_row, align = _best_and_walk(
         words, jnp.asarray(preds), scores, jnp.asarray(sink_mask),
         jnp.int32(n_real), n)
-    # everything up to here is async; the caller's np.asarray is the
-    # single blocking point of the round
     return (scores, align, best_row, order)
 
 
 def round_dp(g, seq: bytes, params):
     """One MSA round on device via the POA kernel.
 
-    Returns (sink_scores (N,), align_of(best_row) callable, order,
-    preds) -- same consumption contract as the scan engine after its
-    host walk.
+    Returns ``(sink_scores, align_of, order, preds)``: host-side
+    ``sink_scores`` (len(order),), a callable ``align_of(best_row) ->
+    (n_real,) aligned node rows`` running the device walk, the topo
+    ``order``, and the dense ``preds`` tensor.  (The scan engine's
+    counterpart is _scan_engine_round + a host walk; this entry trades
+    the packed planes for a device walk.)
     """
-    p = (params.match, params.mismatch, params.gap_extend,
-         params.gap_open)
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W, pos,
-     order, preds) = _prepare(g, params)
-    n_real = len(seq)
-    n = bucket(n_real)
-    if n % LANES:
-        n += LANES - n % LANES
-    a = np.zeros((n,), np.uint8)
-    a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
-    a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
-    words, scores = _poa_round_call(
-        jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
-        jnp.asarray(hm1p), jnp.asarray(hm1own),
-        jnp.asarray([[n_real]], dtype=np.int32),
-        a2d, N, n, W, max_in, p)
+    words, scores, order, preds, n, n_real = _dispatch_round(
+        g, seq, params)
     scores_np = np.asarray(scores)[0, :len(order)]  # drop padded nodes
 
     preds_dev = jnp.asarray(preds)
