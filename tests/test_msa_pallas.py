@@ -166,3 +166,11 @@ def test_align_seqs_many_falls_back_past_pred_cap(monkeypatch):
     monkeypatch.setattr(PoaGraph, "from_sequence", staticmethod(hacked))
     outs = msa_native.align_seqs_many([seqs], AlignParams())
     assert len(outs) == 1 and len(outs[0].round_scores) == 2
+
+
+def test_round_memory_guard():
+    """Past the HBM words budget the kernel path must fail with guidance
+    (engine='compat'), not an opaque allocator error."""
+    with pytest.raises(ValueError, match="compat"):
+        msa_pallas._check_round_memory(100352, 100352)
+    msa_pallas._check_round_memory(51200, 51200)  # 3x50kbp scale fits

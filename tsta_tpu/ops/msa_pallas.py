@@ -456,6 +456,22 @@ def _best_and_walk(words, preds, scores, sink_mask, n_real, n):
     return best_row, align
 
 
+HBM_WORDS_BUDGET = 12 * 2 ** 30   # leave headroom of the 16 GB chip
+
+
+def _check_round_memory(N: int, n: int) -> None:
+    """The O(N x n) int16 traceback words are the scaling bound (ROADMAP
+    'native-MSA length ceiling'); fail with guidance, not an allocator
+    error deep inside XLA."""
+    words = 2 * N * n
+    if words > HBM_WORDS_BUDGET:
+        raise ValueError(
+            "native MSA round needs %.1f GB of traceback words "
+            "(%d nodes x %d cols), beyond the chip's HBM budget; use "
+            "engine='compat' (host-RAM planes) for reads this long"
+            % (words / 2 ** 30, N, n))
+
+
 def _dispatch_round(g, seq: bytes, params):
     """Shared prep + kernel dispatch: returns
     (words, scores, order, preds, n, n_real)."""
@@ -467,6 +483,7 @@ def _dispatch_round(g, seq: bytes, params):
      order, preds) = _prepare(g, params)
     n_real = len(seq)
     n = bucket(n_real)   # bucket() returns LANES multiples already
+    _check_round_memory(N, n)
     a = np.zeros((n,), np.uint8)
     a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
     a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
