@@ -97,3 +97,32 @@ def test_msa_cli_w30_golden(golden_dir, tmp_path, capsys):
     ref = open(os.path.join(golden_dir, "example_big/msa_x3w30.out"),
                "rb").read()
     assert out_file.read_bytes() == ref
+
+
+def test_msa_batch_cli(tmp_path):
+    """tsta msa-batch: pipelined fleet over a list of read FASTAs."""
+    import numpy as np
+
+    from tsta_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(2):
+        base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80).tobytes()
+        fa = tmp_path / ("set%d.fa" % i)
+        with open(fa, "wb") as f:
+            for k in range(3):
+                s = bytearray(base)
+                for j in rng.integers(0, len(s), 6):
+                    s[j] = b"ACGT"[rng.integers(0, 4)]
+                f.write(b">r%d\n" % k + bytes(s) + b"\n")
+        paths.append(str(fa))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_dir = tmp_path / "outs"
+    rc = main(["msa-batch", "--inputs", str(lst),
+               "--out-dir", str(out_dir)])
+    assert rc == 0
+    for i in range(2):
+        data = (out_dir / ("set%d.txt" % i)).read_bytes()
+        assert b"consensus" in data

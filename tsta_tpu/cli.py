@@ -99,6 +99,39 @@ def cmd_msa(args) -> int:
     return 0
 
 
+def cmd_msa_batch(args) -> int:
+    """Many independent MSAs, pipelined so host graph fusion overlaps
+    device DP (msa_native.align_seqs_many; 28% measured wall reduction
+    over sequential runs on TPU -- see ROADMAP.md)."""
+    import os
+
+    from tsta_tpu.io import read_records
+    from tsta_tpu.models import msa
+    from tsta_tpu.ops import msa_native
+
+    with open(args.inputs) as f:
+        paths = [ln.strip() for ln in f if ln.strip()
+                 and not ln.startswith("#")]
+    if not paths:
+        raise ValueError("empty input list")
+    seq_sets = [[r.sequence for r in read_records(p)] for p in paths]
+    t0 = time.time()
+    outs = msa_native.align_seqs_many(seq_sets, _params(args))
+    wall = time.time() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    used = set()
+    for idx, (p, out) in enumerate(zip(paths, outs)):
+        name = os.path.splitext(os.path.basename(p))[0]
+        if name in used:               # inputs may share a basename
+            name = "%s.%d" % (name, idx)
+        used.add(name)
+        msa.write_result(out, os.path.join(args.out_dir, name + ".txt"))
+    if args.json:
+        emit_json({"problems": len(outs), "wall_s": round(wall, 4),
+                   "out_dir": args.out_dir})
+    return 0
+
+
 def cmd_batch(args) -> int:
     from tsta_tpu.parallel import batch as pbatch
     mesh = None
@@ -184,6 +217,16 @@ def main(argv=None) -> int:
                         "shards each round's columns over 4 devices "
                         "(long-read path)")
     p.set_defaults(fn=cmd_msa)
+
+    p = sub.add_parser("msa-batch",
+                       help="many independent MSAs, fusion/DP pipelined "
+                            "(native engine)")
+    _add_scoring_flags(p)
+    p.add_argument("--inputs", required=True,
+                   help="text file listing one reads-FASTA per line")
+    p.add_argument("--out-dir", required=True,
+                   help="directory for per-problem MSA outputs")
+    p.set_defaults(fn=cmd_msa_batch)
 
     p = sub.add_parser("batch", help="batched PSA over many pairs")
     _add_scoring_flags(p)
