@@ -81,3 +81,10 @@ def test_native_vs_compat_quality_corpus():
     # the engines must be in the same quality class: the native final
     # score may never be worse on more than a small fraction of sets
     assert stats["native_worse"] <= stats["sets"] // 5, stats
+    # round-2 landed full parity on this corpus (native graph adopted
+    # the reference's tp1+modify consensus re-scoring and condensed
+    # column ordering; ROADMAP.md).  Pin it: a silent regression to
+    # "mostly identical" must fail CI, not just reprint lower stats.
+    assert stats["scores_equal"] == stats["sets"], stats
+    assert stats["rows_identical"] == stats["sets"], stats
+    assert stats["consensus_identical"] == stats["sets"], stats

@@ -110,8 +110,8 @@ def cmd_msa_batch(args) -> int:
     from tsta_tpu.ops import msa_native
 
     with open(args.inputs) as f:
-        paths = [ln.strip() for ln in f if ln.strip()
-                 and not ln.startswith("#")]
+        stripped = (ln.strip() for ln in f)
+        paths = [s for s in stripped if s and not s.startswith("#")]
     if not paths:
         raise ValueError("empty input list")
     seq_sets = [[r.sequence for r in read_records(p)] for p in paths]
@@ -122,8 +122,11 @@ def cmd_msa_batch(args) -> int:
     used = set()
     for idx, (p, out) in enumerate(zip(paths, outs)):
         name = os.path.splitext(os.path.basename(p))[0]
-        if name in used:               # inputs may share a basename
-            name = "%s.%d" % (name, idx)
+        cand, k = name, idx
+        while cand in used:            # inputs may share a basename (and
+            cand = "%s.%d" % (name, k)  # a literal input may be named
+            k += 1                      # like the renamed form)
+        name = cand
         used.add(name)
         msa.write_result(out, os.path.join(args.out_dir, name + ".txt"))
     if args.json:

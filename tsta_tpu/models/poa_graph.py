@@ -138,10 +138,16 @@ class PoaGraph:
         max-edge-weight predecessor among non-negated ones (ties go to
         the later predecessor when its score is >= the held one); while
         the global best is not a sink, negate the lighter competing
-        predecessors of its successors and re-score downstream.  Runs on
-        our condensed topo order, so tie-heavy graphs may still differ
-        from the compat engine by a tie-break (measured ~2/20 corpora);
-        byte parity remains the compat engine's contract."""
+        predecessors of its successors and re-score downstream.  With
+        the tp1+modify rules adopted, consensus matches the compat
+        engine on 20/20 random quality corpora (asserted in
+        tests/test_msa_quality.py); byte parity on goldens remains the
+        compat engine's contract.  The 4n+4 iteration bound is a safety
+        net against inputs where the reference's recursive modify()
+        would never terminate (e.g. a competing predecessor with score 0
+        or tied with the global max is never negated); on exhaustion we
+        fall back to tracing from the best-scoring sink instead of
+        emitting a truncated consensus from a stuck non-sink."""
         n = len(self)
         topo = self.topo
         pos = {v: i for i, v in enumerate(topo)}
@@ -165,8 +171,8 @@ class PoaGraph:
 
         for v in topo:
             rescore(v)
-        for _ in range(4 * n + 4):     # modify loop (always terminates;
-            top, mx = topo[0], score[topo[0]]  # bound is a safety net)
+        for _ in range(4 * n + 4):     # modify loop; bound is a safety net
+            top, mx = topo[0], score[topo[0]]
             for v in topo:
                 if score[v] >= mx:
                     top, mx = v, score[v]
@@ -181,6 +187,11 @@ class PoaGraph:
             for v in topo[pos[top] + 1:]:
                 if score[v] >= 0 or v in marked:
                     rescore(v)
+        else:
+            # bound exhausted (see docstring): trace from the heaviest
+            # sink rather than a stuck interior node, which would emit a
+            # silently truncated consensus.
+            top = max(sinks, key=lambda v: score[v]) if sinks else top
         out = bytearray()
         v = top
         while v >= 0:

@@ -374,6 +374,16 @@ def align_seqs_many(seq_sets: List[List[bytes]],
     from tsta_tpu.models.poa_graph import PoaGraph
     from tsta_tpu.ops import msa_pallas
 
+    import os as _os
+
+    import jax as _jax
+    # same engine gate as align_seqs: the Pallas POA kernel on TPU, the
+    # scan engine elsewhere; TSTA_MSA_KERNEL=poa|scan overrides.  Without
+    # this gate a CPU-only host would silently run interpret-mode Pallas.
+    kern = _os.environ.get("TSTA_MSA_KERNEL", "auto")
+    use_poa = (kern != "scan"
+               and (kern == "poa" or _jax.default_backend() == "tpu"))
+
     states = []
     for seqs in seq_sets:
         if not seqs:
@@ -403,7 +413,8 @@ def align_seqs_many(seq_sets: List[List[bytes]],
     def dispatch(st):
         seq_no = st["reads"][st["next"]]
         seq = bytes(st["seqs"][seq_no])
-        if max((len(ps) for ps in st["g"].preds), default=1) > 64:
+        if (not use_poa
+                or max((len(ps) for ps in st["g"].preds), default=1) > 64):
             scan_round(st, seq_no, seq)   # synchronous fallback round
             return
         st["pending"] = (seq_no, seq,

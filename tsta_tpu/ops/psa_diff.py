@@ -633,8 +633,16 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
         raise ValueError("int16 difference kernel additionally requires "
                          "max(M,-X,-(O+E),-E) <= 72 (got %s)" % (p,))
     B = len(seq_pairs)
+    if B == 0:
+        raise ValueError("empty pair batch")
     n_real = [int(a.shape[0]) for a, _ in seq_pairs]
     m_real = [int(b.shape[0]) for _, b in seq_pairs]
+    for i in range(B):
+        # an empty side would mark flag row nm-1 == -1 (never matched),
+        # leaving that pair's corner at NEG32 -- silent garbage
+        if n_real[i] < 1 or m_real[i] < 1:
+            raise ValueError("pair %d has an empty sequence "
+                             "(lengths %d, %d)" % (i, n_real[i], m_real[i]))
     n_pad = (max(n_real) + LANES - 1) // LANES * LANES
     m_pad = (max(m_real) + T_R - 1) // T_R * T_R
     Rp = n_pad // LANES
