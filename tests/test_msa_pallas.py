@@ -168,9 +168,55 @@ def test_align_seqs_many_falls_back_past_pred_cap(monkeypatch):
     assert len(outs) == 1 and len(outs[0].round_scores) == 2
 
 
-def test_round_memory_guard():
-    """Past the HBM words budget the kernel path must fail with guidance
-    (engine='compat'), not an opaque allocator error."""
+def test_round_memory_plan(monkeypatch):
+    """3x50kbp scale fits one words plane; the round-2 HBM ceiling
+    (100 kbp+) now returns a chunk plan instead of raising; only a
+    genuinely impossible working set still raises with guidance."""
+    monkeypatch.delenv("TSTA_HBM_BUDGET_GB", raising=False)
+    assert msa_pallas._round_plan(51200, 51200, 64) is None
+    NC = msa_pallas._round_plan(100352, 102400, 64)
+    assert NC is not None and NC % msa_pallas._node_block(100352) == 0
+    # chunk working set: one chunk's words + all ring snapshots << HBM
+    nchunks = -(-100352 // NC)
+    need = 2 * NC * 102400 + nchunks * 8 * 64 * 102400
+    assert need < 4 * 2 ** 30
     with pytest.raises(ValueError, match="compat"):
-        msa_pallas._check_round_memory(100352, 100352)
-    msa_pallas._check_round_memory(51200, 51200)  # 3x50kbp scale fits
+        msa_pallas._round_plan(1 << 21, 1 << 20, 1 << 18)
+
+
+def test_chunked_round_matches_single(monkeypatch):
+    """Force the chunked checkpoint/rematerialise path with a tiny HBM
+    budget: outputs must be identical to the single-call kernel path
+    (scores, alignment walk, fused graph)."""
+    from tsta_tpu.models.poa_graph import PoaGraph
+
+    rng = np.random.default_rng(21)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08), _mutate(rng, base, 0.12)]
+
+    def run():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        outs = []
+        for sno in (1, 2):
+            scores, align, best_row, order = msa_pallas.round_dp_fused(
+                g, seqs[sno], params)
+            best_row = int(best_row)
+            sc = int(np.asarray(scores)[0, best_row])
+            from tsta_tpu.ops import msa_native
+            msa_native._merge(g, seqs[sno], sno, order,
+                              np.asarray(align)[:len(seqs[sno])])
+            g.toposort()
+            outs.append((sc, list(np.asarray(align)[:len(seqs[sno])])))
+        return outs, g.msa_rows(), g.consensus()
+
+    ref = run()
+    # bucket(600+) nodes => N >= 1024; words = 2*N*n; make the budget
+    # small enough that the plan chunks (>= 2 chunks of NB=512)
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.002")
+    assert msa_pallas._round_plan(1024, 768, 16) is not None
+    chunked = run()
+    monkeypatch.delenv("TSTA_HBM_BUDGET_GB")
+    assert chunked[0] == ref[0]
+    assert chunked[1] == ref[1]
+    assert chunked[2] == ref[2]

@@ -106,3 +106,97 @@ print("PROC_OK", jax.process_index())
     for rc, out, err in outs:
         assert rc == 0, (out, err)
         assert "PROC_OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_msa_delta_broadcast():
+    """The full multi-host MSA driver on 2 real processes x 2 virtual
+    CPU devices each: round DP column-sharded over the GLOBAL 4-device
+    seq axis, traceback walked segment-by-segment across process
+    boundaries, graph deltas broadcast, and both hosts must converge on
+    output identical to the single-host native engine (round-2 verdict
+    item 4's done-criterion)."""
+    prog = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tsta_tpu.config import AlignParams
+from tsta_tpu.parallel import mesh
+from tsta_tpu.parallel.msa_multihost import align_seqs_multihost
+mesh.maybe_init_distributed()
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+rng = np.random.default_rng(7)
+base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 260).tobytes()
+seqs = []
+for _ in range(4):
+    s = bytearray(base)
+    for i in rng.integers(0, len(s), 20):
+        s[i] = b"ACGT"[rng.integers(0, 4)]
+    for _ in range(4):
+        j = int(rng.integers(0, len(s) - 2))
+        if rng.random() < 0.5: del s[j]
+        else: s.insert(j, b"ACGT"[rng.integers(0, 4)])
+    seqs.append(bytes(s))
+
+m = mesh.make_mesh(data=1, seq=4)
+out = align_seqs_multihost(seqs, AlignParams(), mesh=m)
+import hashlib
+digest = hashlib.sha256(
+    b"|".join(out.rows) + out.consensus
+    + str(out.round_scores).encode()).hexdigest()
+print("MSA_OK", jax.process_index(), digest)
+"""
+    env_base = dict(os.environ)
+    env_base.pop("PYTHONPATH", None)
+    env_base["TSTA_COORDINATOR"] = "127.0.0.1:19767"
+    env_base["TSTA_NUM_PROCESSES"] = "2"
+    procs = []
+    for pid in (0, 1):
+        env = dict(env_base)
+        env["TSTA_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", prog], cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out, err))
+    digests = []
+    for rc, out, err in outs:
+        assert rc == 0, (out, err[-3000:])
+        line = [ln for ln in out.splitlines() if ln.startswith("MSA_OK")]
+        assert line, out
+        digests.append(line[0].split()[-1])
+    assert digests[0] == digests[1], "hosts diverged: %s" % digests
+
+    # and the multi-host output equals the single-host native engine
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(7)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 260).tobytes()
+    seqs = []
+    for _ in range(4):
+        s = bytearray(base)
+        for i in rng.integers(0, len(s), 20):
+            s[i] = b"ACGT"[rng.integers(0, 4)]
+        for _ in range(4):
+            j = int(rng.integers(0, len(s) - 2))
+            if rng.random() < 0.5:
+                del s[j]
+            else:
+                s.insert(j, b"ACGT"[rng.integers(0, 4)])
+        seqs.append(bytes(s))
+    ref = msa_native.align_seqs(seqs, AlignParams())
+    import hashlib
+    ref_digest = hashlib.sha256(
+        b"|".join(ref.rows) + ref.consensus
+        + str(ref.round_scores).encode()).hexdigest()
+    assert digests[0] == ref_digest, "multi-host != single-host native"

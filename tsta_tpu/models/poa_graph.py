@@ -132,6 +132,23 @@ class PoaGraph:
     def sinks(self) -> List[int]:
         return [v for v, ss in enumerate(self.succs()) if not ss]
 
+    def apply_delta(self, seq: bytes, seq_no: int, order,
+                    align_rows) -> int:
+        """Replay one round's graph mutation from its delta.
+
+        The delta of a fusion round is the alignment column map
+        ``align_rows`` ((len(seq),) topo rows, -1 for insertions): the
+        merge itself is a deterministic pure function of
+        ``(graph, seq, seq_no, order, align_rows)``, so replicated
+        graphs on every host stay bit-identical when each replays the
+        same few-KB delta (parallel/msa_multihost.py broadcasts it;
+        the TPU-native replacement for the reference's shared-memory
+        graph that all threads mutate in place, c-t-simd.c:659-977).
+        Returns the number of nodes added.
+        """
+        from tsta_tpu.ops.msa_native import _merge
+        return _merge(self, seq, seq_no, order, align_rows)
+
     def consensus(self) -> bytes:
         """Heaviest-bundle consensus with the reference's re-scoring
         semantics (tp1 + modify, topo.c:7-177): per node take the

@@ -52,7 +52,7 @@ NEG32 = -(2 ** 28)
 
 def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 nreal_ref,
-                a_ref,
+                a_ref, hin_ref, ein_ref,
                 words_ref, scores_ref, hbuf_ref, ebuf_ref,
                 hp_ref, ep_ref, stage_ref, stage16_ref, e_stage_ref,
                 gsem, wsem,
@@ -87,8 +87,14 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
     oColE = o_ + colE
     a32 = a_ref[:]
     n_real = nreal_ref[0, 0]
+    # chunk_base: global topo row of this call's first node.  0 for the
+    # single-call path; for node-chunked rounds (length-ceiling mode)
+    # the H/E rings carry across calls via input/output aliasing and
+    # ring indexing stays GLOBAL while words/scores indexing is LOCAL.
+    chunk_base = nreal_ref[0, 1]
     corner_mask = col_idx == n_real - 1
     h_virtual = o_ + (col_idx + 1) * e_          # H(-1, j)
+    del hin_ref, ein_ref   # aliased to hbuf_ref/ebuf_ref (same memory)
 
     def shift1(x, fill):
         a1 = pltpu.roll(x, shift=1, axis=1)
@@ -98,24 +104,27 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
     def node_body(i, carry):
         h_carry, e_carry = carry     # previous node's H/E rows
-        ig = blk * NB + i            # global node row
+        il = blk * NB + i            # node row local to this call
+        ig = chunk_base + il         # global topo row (ring indexing)
         # chain fast path: single pred == previous node -> its rows are
         # already in registers; ~90% of POA nodes, saves both gathers
         chain = jnp.logical_and(preds_ref[0, i] == ig,
                                 pmask_ref[0, i] != 0)
         if max_in > 1:
             chain = jnp.logical_and(chain, pmask_ref[1, i] == 0)
-        # the register carry does not cross grid steps: first node of a
-        # block always gathers
+        # the register carry does not cross grid steps or calls: first
+        # node of a block always gathers
         chain = jnp.logical_and(chain, i > 0)
         # wait for the PREVIOUS node's state writes first: a distance-1
         # multi-pred gather reads the slot they target, so they must
         # complete before any gather STARTS.  The writes were launched a
-        # full iteration ago, so this wait is normally free.
-        @pl.when(ig > 0)
+        # full iteration ago, so this wait is normally free.  Gating is
+        # on the LOCAL row: DMAs do not persist across calls, and a new
+        # chunk call's rings are already complete (aliased inputs).
+        @pl.when(il > 0)
         def _wait_writes():
             pltpu.make_async_copy(stage16_ref.at[0],
-                                  words_ref.at[jnp.maximum(ig - 1, 0)],
+                                  words_ref.at[jnp.maximum(il - 1, 0)],
                                   wsem.at[0]).wait()
             pltpu.make_async_copy(stage_ref.at[0],
                                   hbuf_ref.at[ig % W], wsem.at[1]).wait()
@@ -227,7 +236,7 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # start all three state writes; the NEXT node waits on them
         # (their latencies overlap each other and the loop tail)
         stage16_ref[0] = word.astype(jnp.int16)
-        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[ig],
+        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[il],
                               wsem.at[0]).start()
         stage_ref[0] = h_row
         pltpu.make_async_copy(stage_ref.at[0],
@@ -253,25 +262,29 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
                               wsem.at[0]).wait()
         pltpu.make_async_copy(stage_ref.at[0],
-                              hbuf_ref.at[(last + 1) % W],
+                              hbuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[1]).wait()
         pltpu.make_async_copy(e_stage_ref.at[0],
-                              ebuf_ref.at[(last + 1) % W],
+                              ebuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[2]).wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("N", "n", "W", "max_in", "params"))
-def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
-                    N, n, W, max_in, params):
-    """preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
-    nreal: (1, 1) i32; a2d: (Rp, 128) i32.  Scalar tables stream per
-    NB-node block through the (sequential) grid."""
+def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
+                    hring, ering, N, n, W, max_in, params):
+    """One node-chunk of a round's DP (the whole round when unchunked).
+
+    preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
+    scal: (1, 2) i32 = [n_real, chunk_base]; a2d: (Rp, 128) i32;
+    hring/ering: (W, Rp, LANES) i32 H/E state rings, ALIASED to the ring
+    outputs so state carries across chunk calls in place.  Scalar tables
+    stream per NB-node block through the (sequential) grid."""
     Rp = n // LANES
     NB = _node_block(N)
     kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
                                max_in=max_in, params=params)
-    words, scores, _, _ = pl.pallas_call(
+    words, scores, hring, ering = pl.pallas_call(
         kernel,
         grid=(N // NB,),
         interpret=jax.default_backend() != "tpu",
@@ -286,10 +299,12 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
                          memory_space=pltpu.SMEM),    # per-pred H(p,-1)
             pl.BlockSpec((1, NB), lambda b: (0, b),
                          memory_space=pltpu.SMEM),    # own H(v,-1)
-            pl.BlockSpec((1, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),    # n_real
+            pl.BlockSpec((1, 2), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),    # [n_real, base]
             pl.BlockSpec((Rp, LANES), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),    # a chars
+            pl.BlockSpec(memory_space=pl.ANY),        # H ring in
+            pl.BlockSpec(memory_space=pl.ANY),        # E ring in
         ],
         out_shape=(
             jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int16),  # words
@@ -304,6 +319,7 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
+        input_output_aliases={7: 2, 8: 3},
         scratch_shapes=[
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
             pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
@@ -313,8 +329,76 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
             pltpu.SemaphoreType.DMA((2 * max_in,)),       # gather sems
             pltpu.SemaphoreType.DMA((3,)),                # write sems
         ],
-    )(preds, pmask, bases, hm1p, hm1own, nreal, a2d)
+    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, hring, ering)
+    return words, scores, hring, ering
+
+
+def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
+                    N, n, W, max_in, params):
+    """Single-call round (graph fits one words plane): zero rings in,
+    chunk_base 0."""
+    Rp = n // LANES
+    zero = jnp.zeros((W, Rp, LANES), jnp.int32)
+    scal = jnp.concatenate(
+        [nreal.astype(jnp.int32),
+         jnp.zeros((1, 1), jnp.int32)], axis=1)
+    words, scores, _, _ = _poa_chunk_call(
+        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero, zero,
+        N, n, W, max_in, params)
     return words, scores
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _walk_bounded(words_c, preds, row, j, state, align, base_row, n):
+    """Device traceback walk restricted to one node chunk: ``words_c``
+    holds rows [base_row, base_row + NC); the walk runs until it leaves
+    the chunk (row < base_row), finishes (j < 0), or runs off the
+    virtual row (row < 0).  Returns the updated (row, j, state, align);
+    the chunked driver rematerialises the next chunk's words and
+    resumes (rematerialisation: the DP is cheaper to re-run per chunk
+    than its O(N x n) traceback plane is to keep -- the same trade as
+    jax.checkpoint).
+    """
+    words2 = words_c.reshape(words_c.shape[0], -1)
+
+    def cond(st):
+        row, j, state, align = st
+        return jnp.logical_and(j >= 0, row >= base_row)
+
+    def body(st):
+        row, j, state, align = st
+        w = words2[row - base_row, j].astype(jnp.int32) & 0xFFFF
+        flags = w & 0xF
+        h_type = flags >> 2
+        e_ext = (flags >> 1) & 1
+        f_ext = flags & 1
+        h_pred = (w >> 4) & 0x3F
+        e_pred = (w >> 10) & 0x3F
+
+        def h_case(_):
+            def diag(_):
+                return (jnp.take(preds[row], h_pred) - 1, j - 1, 0,
+                        align.at[j].set(row))
+
+            def to_e(_):
+                return (row, j, 1, align)
+
+            def to_f(_):
+                return (row, j, 2, align)
+
+            return jax.lax.switch(h_type, [diag, to_e, to_f], None)
+
+        def e_case(_):
+            prow = jnp.take(preds[row], e_pred) - 1
+            return (prow, j, jnp.where(e_ext == 1, 1, 0), align)
+
+        def f_case(_):
+            return (row, j - 1, jnp.where(f_ext == 1, 2, 0),
+                    align.at[j].set(-1))
+
+        return jax.lax.switch(state, [h_case, e_case, f_case], None)
+
+    return jax.lax.while_loop(cond, body, (row, j, state, align))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -411,15 +495,28 @@ def _prepare(g, params):
     bases[:N_real, 0] = np.asarray(g.bases, np.int32)[order_arr]
     maxdist = int(max(1, (rowi - pos[flat]).max())) if n_edges else 1
     # boundary H(v,-1) follows the shortest pred chain: a sequential
-    # topo recurrence (kept as the one remaining loop)
+    # topo recurrence.  ~95% of POA nodes are chain nodes (single pred
+    # = previous topo row), so runs of chain nodes vectorise as a
+    # cumulative e-ramp; only run-breaking nodes stay in Python
+    # (round-2 verdict: _prepare's hm1 loop was the visible host
+    # fraction at 50k+ nodes).
     hm1 = np.full((N + 1,), NEG, np.int64)
     hm1[0] = 0
-    for i in range(N_real):
+    chain = np.zeros((N_real,), bool)
+    if N_real:
+        chain = (lens == 1) & (preds[:N_real, 0] == np.arange(N_real))
+    breakers = np.flatnonzero(~chain)
+    nxt = 0
+    for i in breakers:
+        if i > nxt:   # chain run [nxt, i): ramp from hm1[nxt]
+            hm1[nxt + 1:i + 1] = hm1[nxt] + e_ * np.arange(1, i - nxt + 1)
         li = lens[i]
-        if li == 0:
-            hm1[i + 1] = o_ + e_
-        else:
-            hm1[i + 1] = hm1[preds[i, :li]].max() + e_
+        hm1[i + 1] = (o_ + e_ if li == 0
+                      else hm1[preds[i, :li]].max() + e_)
+        nxt = i + 1
+    if N_real > nxt:
+        hm1[nxt + 1:N_real + 1] = (hm1[nxt]
+                                   + e_ * np.arange(1, N_real - nxt + 1))
     hm1 = hm1.astype(np.int32)
     # per-pred boundary H(p,-1) and per-node own H(v,-1), (rows, N)
     hm1p = np.where(pmask.T != 0, hm1[preds.T], np.int32(NEG32))
@@ -456,43 +553,169 @@ def _best_and_walk(words, preds, scores, sink_mask, n_real, n):
     return best_row, align
 
 
-HBM_WORDS_BUDGET = 12 * 2 ** 30   # leave headroom of the 16 GB chip
+def _hbm_budget() -> int:
+    """Usable HBM bytes, derived from the device when it reports them
+    (round-2 verdict: do not hard-code the 16 GB chip)."""
+    import os
+    env = os.environ.get("TSTA_HBM_BUDGET_GB")
+    if env:
+        return int(float(env) * 2 ** 30)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        lim = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if lim:
+            return int(lim * 0.85)
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
+    return 12 * 2 ** 30
 
 
-def _check_round_memory(N: int, n: int) -> None:
-    """The O(N x n) int16 traceback words are the scaling bound (ROADMAP
-    'native-MSA length ceiling'); fail with guidance, not an allocator
-    error deep inside XLA."""
-    words = 2 * N * n
-    if words > HBM_WORDS_BUDGET:
+def _round_plan(N: int, n: int, W: int):
+    """Decide how a round's DP fits the chip.
+
+    Returns ``None`` for the single-call path (whole words plane fits
+    comfortably) or the node-chunk size ``NC`` for the chunked
+    checkpoint/rematerialise path that lifts the O(N x n) plane out of
+    HBM entirely (ROADMAP 'native-MSA length ceiling': the reference
+    handles 50-200 kbp via host-RAM planes, c-t-simd.c:1003-1017; the
+    TPU-native equivalent is remat, not host spill).  Raises only when
+    even the chunked working set cannot fit.
+    """
+    budget = _hbm_budget()
+    if 2 * N * n <= int(0.5 * budget):
+        return None
+    nb = _node_block(N)
+    # minimise chunk words (2*NC*n) + ring snapshots (ceil(N/NC)*8*W*n)
+    NC = int(2.0 * (N * W) ** 0.5)
+    NC = max(nb, -(-NC // nb) * nb)
+    nchunks = -(-N // NC)
+    need = 2 * NC * n + nchunks * 8 * W * n + 8 * W * n
+    if need > int(0.8 * budget):
         raise ValueError(
-            "native MSA round needs %.1f GB of traceback words "
-            "(%d nodes x %d cols), beyond the chip's HBM budget; use "
-            "engine='compat' (host-RAM planes) for reads this long"
-            % (words / 2 ** 30, N, n))
+            "native MSA round cannot fit the chip even chunked "
+            "(%d nodes x %d cols, ring W=%d, ~%.1f GB working set); "
+            "use engine='compat' (host-RAM planes) for reads this long"
+            % (N, n, W, need / 2 ** 30))
+    return NC
 
 
-def _dispatch_round(g, seq: bytes, params):
-    """Shared prep + kernel dispatch: returns
-    (words, scores, order, preds, n, n_real)."""
+def _prep_round(g, seq: bytes, params):
+    """Shared prep: prepared tensors + the round's memory plan."""
     if len(seq) == 0:
         raise ValueError("cannot align an empty read")
     p = (params.match, params.mismatch, params.gap_extend,
          params.gap_open)
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
-     order, preds) = _prepare(g, params)
+    prep = _prepare(g, params)
+    N, W = prep[5], prep[7]
     n_real = len(seq)
     n = bucket(n_real)   # bucket() returns LANES multiples already
-    _check_round_memory(N, n)
+    NC = _round_plan(N, n, W)
     a = np.zeros((n,), np.uint8)
     a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
     a2d = jnp.asarray(a.astype(np.int32).reshape(n // LANES, LANES))
+    return p, prep, n, n_real, NC, a2d
+
+
+def _dispatch_round(g, seq: bytes, params):
+    """Single-call prep + kernel dispatch: returns
+    (words, scores, order, preds, n, n_real).  Rounds whose words plane
+    exceeds the HBM plan must go through round_dp_fused (chunked)."""
+    p, prep, n, n_real, NC, a2d = _prep_round(g, seq, params)
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+     order, preds) = prep
+    if NC is not None:
+        raise ValueError(
+            "round words plane exceeds the HBM plan (%d nodes x %d "
+            "cols); use round_dp_fused, which chunks + rematerialises"
+            % (N, n))
     words, scores = _poa_round_call(
         jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
         jnp.asarray(hm1p), jnp.asarray(hm1own),
         jnp.asarray([[n_real]], dtype=np.int32),
         a2d, N, n, W, max_in, p)
     return words, scores, order, preds, n, n_real
+
+
+def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
+    """Length-ceiling mode: forward DP in node chunks with ring-state
+    checkpoints, then a backward walk that rematerialises each chunk's
+    traceback words on device (never holding more than one chunk's
+    O(NC x n) plane in HBM).
+
+    The reference covers its 50-200 kbp window with host-RAM traceback
+    planes (c-t-simd.c:1003-1017) at host-memory bandwidth; the
+    TPU-native equivalent is checkpoint/recompute -- the DP re-run per
+    chunk costs less than one extra plane round-trip through hostmem.
+
+    Returns (scores_2d, align, best_row, order) -- the round_dp_fused
+    contract (numpy-backed; the chunk loop already synced).
+    """
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+     order, preds) = prep
+    nchunks = -(-N // NC)
+    Np = nchunks * NC
+    if Np != N:   # pad tables so every chunk is full-size (one compile)
+        pad = Np - N
+        predsT = np.concatenate(
+            [predsT, np.zeros((max_in, pad), predsT.dtype)], axis=1)
+        pmaskT = np.concatenate(
+            [pmaskT, np.zeros((max_in, pad), pmaskT.dtype)], axis=1)
+        bases = np.concatenate(
+            [bases, np.zeros((1, pad), bases.dtype)], axis=1)
+        hm1p = np.concatenate(
+            [hm1p, np.full((max_in, pad), NEG32, hm1p.dtype)], axis=1)
+        hm1own = np.concatenate(
+            [hm1own, np.full((1, pad), NEG32, hm1own.dtype)], axis=1)
+    Rp = n // LANES
+    hring = jnp.zeros((W, Rp, LANES), jnp.int32)
+    ering = jnp.zeros((W, Rp, LANES), jnp.int32)
+    snaps = []          # ring state at each chunk's ENTRY
+    score_parts = []
+    words_last = None
+    for c in range(nchunks):
+        snaps.append((hring, ering))
+        sl = slice(c * NC, (c + 1) * NC)
+        scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
+        words_c, sc, hring, ering = _poa_chunk_call(
+            jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
+            jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
+            jnp.asarray(hm1own[:, sl]), scal, a2d, hring, ering,
+            NC, n, W, max_in, p)
+        score_parts.append(sc)
+        words_last = words_c if c == nchunks - 1 else None
+    scores = np.concatenate([np.asarray(s) for s in score_parts],
+                            axis=1)[:, :Np]
+
+    # best sink (host; scores already synced above)
+    sink_mask = np.full((Np,), False)
+    sink_mask[:len(order)] = np.isin(
+        np.asarray(order, np.int64),
+        np.fromiter(g.sinks(), np.int64))
+    masked = np.where(sink_mask, scores[0], NEG)
+    best_row = int(np.argmax(masked))
+
+    # backward: rematerialise chunks on demand, walk inside each
+    preds_dev = jnp.asarray(preds)
+    align = jnp.full((n,), -1, jnp.int32)
+    row, j, state = best_row, n_real - 1, 0
+    while row >= 0 and j >= 0:
+        c = row // NC
+        if c == nchunks - 1 and words_last is not None:
+            words_c = words_last
+        else:
+            h0, e0 = snaps[c]
+            sl = slice(c * NC, (c + 1) * NC)
+            scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
+            words_c, _, _, _ = _poa_chunk_call(
+                jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
+                jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
+                jnp.asarray(hm1own[:, sl]), scal, a2d, h0, e0,
+                NC, n, W, max_in, p)
+        row_d, j_d, state_d, align = _walk_bounded(
+            words_c, preds_dev, jnp.int32(row), jnp.int32(j),
+            jnp.int32(state), align, jnp.int32(c * NC), n)
+        row, j, state = int(row_d), int(j_d), int(state_d)
+    return scores, np.asarray(align), best_row, order
 
 
 def round_dp_fused(g, seq: bytes, params):
@@ -506,8 +729,19 @@ def round_dp_fused(g, seq: bytes, params):
     best sink row, and ``order`` the topo node order.  The caller's
     ``np.asarray``/``int()`` reads are the round's only blocking point.
     """
-    words, scores, order, preds, n, n_real = _dispatch_round(
-        g, seq, params)
+    p, prep, n, n_real, NC, a2d = _prep_round(g, seq, params)
+    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+     order, preds) = prep
+    if NC is not None:
+        # length-ceiling mode: chunk + rematerialise (syncs internally;
+        # numpy results satisfy the same contract)
+        return _round_chunked(g, seq, params, p, prep, n, n_real, NC,
+                              a2d)
+    words, scores = _poa_round_call(
+        jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
+        jnp.asarray(hm1p), jnp.asarray(hm1own),
+        jnp.asarray([[n_real]], dtype=np.int32),
+        a2d, N, n, W, max_in, p)
     sink_mask = np.zeros((scores.shape[1],), np.int32)
     sink_mask[:len(order)] = np.isin(
         np.asarray(order, np.int64),

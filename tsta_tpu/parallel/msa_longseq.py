@@ -222,11 +222,15 @@ def _round_dp_sharded(bases, preds, pmask, hm1, valid, a_sh, n_real,
     return sink[0], planes, hpreds, epreds
 
 
-def round_dp(g, seq: bytes, params, mesh):
-    """Sharded replacement for msa_native's per-round device DP.
+def round_dp_arrays(g, seq: bytes, params, mesh):
+    """Sharded per-round DP returning DEVICE arrays (global jax.Arrays
+    when the mesh spans processes -- the multi-host path must read
+    planes shard-by-shard, never materialise them on one host).
 
-    Returns (sink_scores, packed, h_pred, e_pred) with the same contract
-    as msa_native._round_dp (planes over real columns of ``seq``).
+    Returns (sink, planes, hpreds, epreds, order, preds, n) where sink/
+    planes/hpreds/epreds are device arrays (planes sharded over the
+    ``seq`` columns), ``order`` the topo node order, ``preds`` the dense
+    host predecessor tensor, and ``n`` the padded column count.
     """
     from tsta_tpu.ops import msa_native
     from tsta_tpu.ops.psa_scan import bucket
@@ -252,9 +256,33 @@ def round_dp(g, seq: bytes, params, mesh):
     a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
     p = (params.match, params.mismatch, params.gap_extend,
          params.gap_open)
+    if jax.process_count() > 1:
+        # each process contributes only its addressable column shards;
+        # replicated inputs stay as (uncommitted) numpy so the
+        # multi-controller runtime treats them as replicated values
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(mesh, P("seq"))
+        a_in = jax.make_array_from_callback((n,), sh, lambda idx: a[idx])
+        as_dev = lambda x: x  # noqa: E731
+    else:
+        a_in = jnp.asarray(a)
+        as_dev = jnp.asarray
     sink, planes, hpreds, epreds = _round_dp_sharded(
-        jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(pmask),
-        jnp.asarray(hm1.astype(np.int32)), jnp.asarray(valid),
-        jnp.asarray(a), jnp.int32(n_real), p, N_pad, n, max_in, mesh)
+        as_dev(bases), as_dev(preds), as_dev(pmask),
+        as_dev(hm1.astype(np.int32)), as_dev(valid),
+        a_in, np.int32(n_real), p, N_pad, n, max_in, mesh)
+    return sink, planes, hpreds, epreds, order, preds, n
+
+
+def round_dp(g, seq: bytes, params, mesh):
+    """Sharded replacement for msa_native's per-round device DP.
+
+    Returns (sink_scores, packed, h_pred, e_pred) with the same contract
+    as msa_native._round_dp (planes over real columns of ``seq``).
+    Single-host only (materialises the planes); the multi-host driver is
+    parallel/msa_multihost.py.
+    """
+    sink, planes, hpreds, epreds, order, preds, _ = round_dp_arrays(
+        g, seq, params, mesh)
     return (np.asarray(sink), np.asarray(planes), np.asarray(hpreds),
             np.asarray(epreds), order, preds)
