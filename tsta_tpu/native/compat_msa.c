@@ -971,34 +971,52 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
 
   /* pick the best-scoring sink among the last n_sinks sinks
    * (ties: the later-scanned = smaller index wins; c-t-simd.c:733-750) */
-  int num1 = g->len - 1, num2 = len_b - 1;
-  int s1 = INT_MIN, s2 = 0;
+  int gnode = g->len - 1;   /* topo index of the graph node being visited */
+  int bcol = len_b - 1;     /* new-seq column being consumed */
+  int best_score = INT_MIN, sinks_seen = 0;
   for (int i = g->len - 1; i > 0; i--) {
     if (g->sorted[i]->out == 0) {
-      if (s1 <= g->sorted[i]->last_score) {
-        s1 = g->sorted[i]->last_score;
-        num1 = g->sorted[i]->sub;
+      if (best_score <= g->sorted[i]->last_score) {
+        best_score = g->sorted[i]->last_score;
+        gnode = g->sorted[i]->sub;
       }
-      s2++;
+      sinks_seen++;
     }
-    if (s2 >= g->n_sinks) break;
+    if (sinks_seen >= g->n_sinks) break;
   }
-  *out_last_score = s1;
+  *out_last_score = best_score;
 
-  int cont = 0;
+  /* What the PREVIOUS iteration did to the column to our right.  The
+   * walk wires each fused column to its right neighbour, and how (new
+   * edge vs reuse) depends on whether the right column ended up on a
+   * fresh chain node or on an existing graph node:
+   *   PREV_INSERT       inserted the chain node as-is (gap in graph)
+   *   PREV_MATCH        merged into an existing node (exact base)
+   *   PREV_VAR_NEW      created a new aligned-variant node
+   *   PREV_UP           vertical move -- no column consumed
+   *   PREV_VAR_EDGE     reused a variant, adding a new pred edge
+   *   PREV_VAR_BUMP     reused a variant, bumping an existing edge
+   * After PREV_MATCH/PREV_VAR_BUMP the right column already holds its
+   * own wiring to this column's eventual node, so the current fuse must
+   * NOT add a duplicate successor edge.  (The reference keeps this
+   * machine in an undocumented int; semantics recovered by tracing
+   * c-t-simd.c:753-956 against its golden outputs.) */
+  enum { PREV_INSERT = 0, PREV_MATCH = 1, PREV_VAR_NEW = 2,
+         PREV_UP = 3, PREV_VAR_EDGE = 4, PREV_VAR_BUMP = 5 };
+  int prev = PREV_INSERT;
 
 #define SRC(nd, col) ((int8_t)(nd)->src[stripe_idx(c, col)])
 #define ESRC(nd, col) ((int8_t)(nd)->esrc[stripe_idx(c, col)])
 #define FSRC(nd, col) ((int8_t)(nd)->fsrc[stripe_idx(c, col)])
 
-  while (num1 != -1 && num2 != -1) {
-    Node* cur = g->sorted[num1];
-    int code = SRC(cur, num2);
+  while (gnode != -1 && bcol != -1) {
+    Node* cur = g->sorted[gnode];
+    int code = SRC(cur, bcol);
     int type = code / 42, pidx = code % 42;
     if (type == 3) {
       /* insertion: new-seq base consumed against a gap -> new node */
-      cont = 0;
-      Node* n = chain[num2];
+      prev = PREV_INSERT;
+      Node* n = chain[bcol];
       n->hrow = (uint8_t*)malloc(c->L);
       n->erow = (uint8_t*)malloc(c->L);
       n->passing_seq = (uint8_t*)calloc(c->n_seq, 1);
@@ -1008,122 +1026,127 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
       n->sub = g->len + added;
       added++;
       /* horizontal gap-run propagation (c-t-simd.c:767-769) */
-      int fb = FSRC(cur, num2);
-      if (stripe_idx(c, num2 - 1) > 0 &&
+      int fb = FSRC(cur, bcol);
+      if (stripe_idx(c, bcol - 1) > 0 &&
           ((fb == 1 || fb == -1) ||
-           ((fb == 2 || fb == -2) && FSRC(cur, num2 - 1) < 0)))
-        cur->src[stripe_idx(c, num2 - 1)] = 126;
-      num2--;
+           ((fb == 2 || fb == -2) && FSRC(cur, bcol - 1) < 0)))
+        cur->src[stripe_idx(c, bcol - 1)] = 126;
+      bcol--;
       continue;
     } else if (type == 0) {
       /* up move: graph base skipped; vertical gap-run propagation
+       * rewrites the predecessor's move to continue the gap run,
+       * preserving the pred index from its esrc code
        * (c-t-simd.c:773-784) */
-      cont = 3;
+      prev = PREV_UP;
       Node* pre = cur->pre[pidx];
-      int eb = ESRC(cur, num2);
+      int eb = ESRC(cur, bcol);
       if (pre->sub > 0 &&
           ((eb <= 42 && eb >= -42) ||
-           ((eb > 42 || eb < -42) && ESRC(g->sorted[pre->sub], num2) < 0))) {
-        int8_t s5 = (int8_t)(ESRC(g->sorted[pre->sub], num2) % 42);
-        s5 = (int8_t)((s5 >= 0 ? s5 : -s5) - 1);
-        g->sorted[pre->sub]->src[stripe_idx(c, num2)] = (uint8_t)s5;
+           ((eb > 42 || eb < -42) && ESRC(g->sorted[pre->sub], bcol) < 0))) {
+        int8_t prop_pidx = (int8_t)(ESRC(g->sorted[pre->sub], bcol) % 42);
+        prop_pidx = (int8_t)((prop_pidx >= 0 ? prop_pidx : -prop_pidx) - 1);
+        g->sorted[pre->sub]->src[stripe_idx(c, bcol)] = (uint8_t)prop_pidx;
       }
-      num1 = pre->sub;
+      gnode = pre->sub;
       continue;
     } else if (type == 1) {
       /* match: merge into existing node */
       Node* pre = cur->pre[pidx];
-      if (num2 == len_b - 1) {
-        if (SRC(g->sorted[pre->sub], num2 - 1) / 42 == 1) {
+      if (bcol == len_b - 1) {
+        if (SRC(g->sorted[pre->sub], bcol - 1) / 42 == 1) {
           cur->eweight[pidx]++;
         } else {
           pre_reserve(cur, cur->in + 1);
-          cur->pre[cur->in] = chain[num2 - 1];
+          cur->pre[cur->in] = chain[bcol - 1];
           cur->eweight[cur->in] = 1;
           cur->in++;
-          chain[num2 - 1]->next[chain[num2 - 1]->out - 1] = cur;
-          chain[num2] = cur;
+          chain[bcol - 1]->next[chain[bcol - 1]->out - 1] = cur;
+          chain[bcol] = cur;
         }
-      } else if (num2 == 0) {
-        if (cont == 1 || cont == 5) {
-          chain[num2] = cur;
+      } else if (bcol == 0) {
+        if (prev == PREV_MATCH || prev == PREV_VAR_BUMP) {
+          chain[bcol] = cur;   /* right column already wired to us */
         } else {
           next_reserve(cur, cur->out + 1);
-          cur->next[cur->out] = chain[num2 + 1];
+          cur->next[cur->out] = chain[bcol + 1];
           cur->out++;
-          chain[num2 + 1]->pre[chain[num2 + 1]->in - 1] = cur;
+          chain[bcol + 1]->pre[chain[bcol + 1]->in - 1] = cur;
         }
       } else {
-        if (pre->sub != -1 && SRC(g->sorted[pre->sub], num2 - 1) / 42 == 1) {
+        if (pre->sub != -1 && SRC(g->sorted[pre->sub], bcol - 1) / 42 == 1) {
           cur->eweight[pidx]++;
         } else {
           pre_reserve(cur, cur->in + 1);
-          cur->pre[cur->in] = chain[num2 - 1];
+          cur->pre[cur->in] = chain[bcol - 1];
           cur->eweight[cur->in] = 1;
           cur->in++;
-          chain[num2 - 1]->next[chain[num2 - 1]->out - 1] = cur;
+          chain[bcol - 1]->next[chain[bcol - 1]->out - 1] = cur;
         }
-        if (!(cont == 1 || cont == 5)) {
+        if (!(prev == PREV_MATCH || prev == PREV_VAR_BUMP)) {
           next_reserve(cur, cur->out + 1);
-          cur->next[cur->out] = chain[num2 + 1];
+          cur->next[cur->out] = chain[bcol + 1];
           cur->out++;
-          chain[num2 + 1]->pre[chain[num2 + 1]->in - 1] = cur;
+          chain[bcol + 1]->pre[chain[bcol + 1]->in - 1] = cur;
         }
-        chain[num2] = cur;
+        chain[bcol] = cur;
       }
-      cont = 1;
+      prev = PREV_MATCH;
       cur->passing_seq[seq_no] = 1;
-      num1 = pre->sub;
-      num2--;
+      gnode = pre->sub;
+      bcol--;
     } else {
       /* mismatch: fuse into an aligned variant of this column, or
-       * create one (c-t-simd.c:862-956) */
-      int s4 = 0;
+       * create one (c-t-simd.c:862-956).  var_state: 0 = no variant
+       * with this base (create one), 1 = reused a variant and its
+       * successor edge still needs wiring, 2 = reused a variant whose
+       * successor edge already existed (weight bumped instead). */
+      int var_state = 0;
       for (int s = 0; s < cur->n_variants; s++) {
         Node* var = cur->variants[s];
-        if (chain[num2]->base == var->base) {
-          if (num2 != 0) {
+        if (chain[bcol]->base == var->base) {
+          int bumped = 0;   /* pred edge weight-bumped (vs newly added) */
+          if (bcol != 0) {
             Node* pre = cur->pre[pidx];
             if (pre->sub != -1 &&
-                SRC(pre, num2 - 1) / 42 == 1) {
+                SRC(pre, bcol - 1) / 42 == 1) {
               for (int ss = 0; ss < var->in; ss++)
                 if (var->pre[ss] == pre) {
                   var->eweight[ss]++;
-                  s2 = -1;
+                  bumped = 1;
                 }
             }
-            if (s2 != -1) {
+            if (!bumped) {
               pre_reserve(var, var->in + 1);
-              var->pre[var->in] = chain[num2 - 1];
+              var->pre[var->in] = chain[bcol - 1];
               var->eweight[var->in] = 1;
               var->in++;
-              chain[num2 - 1]->next[chain[num2 - 1]->out - 1] = var;
+              chain[bcol - 1]->next[chain[bcol - 1]->out - 1] = var;
             }
           }
-          s4 = 1;
-          if (cont == 1 || cont == 4) {
-            for (int ss = 0; ss < chain[num2 + 1]->in; ss++)
-              if (chain[num2 + 1]->pre[ss] == var) {
-                s4 = 2;
-                chain[num2 + 1]->eweight[ss]++;
-                chain[num2 + 1]->in--;
+          var_state = 1;
+          if (prev == PREV_MATCH || prev == PREV_VAR_EDGE) {
+            for (int ss = 0; ss < chain[bcol + 1]->in; ss++)
+              if (chain[bcol + 1]->pre[ss] == var) {
+                var_state = 2;
+                chain[bcol + 1]->eweight[ss]++;
+                chain[bcol + 1]->in--;
               }
           }
-          if (s4 == 1 && num2 != len_b - 1) {
-            chain[num2 + 1]->pre[chain[num2 + 1]->in - 1] = var;
+          if (var_state == 1 && bcol != len_b - 1) {
+            chain[bcol + 1]->pre[chain[bcol + 1]->in - 1] = var;
             next_reserve(var, var->out + 1);
-            var->next[var->out] = chain[num2 + 1];
+            var->next[var->out] = chain[bcol + 1];
             var->out++;
           }
           var->passing_seq[seq_no] = 1;
-          cont = (s2 == -1) ? 5 : 4;
-          s2 = 0;
-          chain[num2] = var;
+          prev = bumped ? PREV_VAR_BUMP : PREV_VAR_EDGE;
+          chain[bcol] = var;
         }
       }
-      if (s4 == 0) {
-        cont = 2;
-        Node* n = chain[num2];
+      if (var_state == 0) {
+        prev = PREV_VAR_NEW;
+        Node* n = chain[bcol];
         n->hrow = (uint8_t*)malloc(c->L);
         n->erow = (uint8_t*)malloc(c->L);
         n->passing_seq = (uint8_t*)calloc(c->n_seq, 1);
@@ -1147,14 +1170,14 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
           n->variants[s] = sib;
         }
       }
-      num1 = cur->pre[pidx]->sub;
-      num2--;
+      gnode = cur->pre[pidx]->sub;
+      bcol--;
     }
   }
 
   /* remaining new-seq prefix becomes fresh nodes (c-t-simd.c:959-972) */
-  while (num2 > -1) {
-    Node* n = chain[num2];
+  while (bcol > -1) {
+    Node* n = chain[bcol];
     n->hrow = (uint8_t*)malloc(c->L);
     n->erow = (uint8_t*)malloc(c->L);
     n->passing_seq = (uint8_t*)calloc(c->n_seq, 1);
@@ -1162,7 +1185,7 @@ static int fuse_round(Ctx* c, const char* b, int len_b, int seq_no,
     n->eweight[0] = 1;
     g->unsorted[g->len + added] = n;
     added++;
-    num2--;
+    bcol--;
   }
   g->len += added;
   free(chain);

@@ -254,7 +254,7 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
                 score_ref, corner_ref,
                 h_ref, e_ref, best_ref, corner32_ref,
-                *, Rp, P, params):
+                *, Rp, P, params, v2=False):
     """int32 absolute-value variant: same packed layout as _diff_kernel,
     no anchors.  Production TPU path (see module docstring).
 
@@ -265,6 +265,16 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
     (scratch refs touched only at grid-step boundaries), every shift-in
     uses a sublane roll + select rather than a lane extract, and the one
     unavoidable cross-lane structure is the 8-roll lane prefix for F.
+
+    ``v2`` (layout='packed2', round-3 op diet): the cal3 3-5 ns sublane
+    costs were measured at 10 vregs, but at S=384 every full-width op
+    touches 48 vregs -- so the cross-segment phase (max + 7x(roll,
+    select, max) on (S,128) + final roll/where) is ~23 48-vreg ops for
+    what is per-segment scalar information.  v2 extracts the lane-127
+    column FIRST (one cross-lane slice) and runs the whole segment
+    prefix on (S,1) columns; likewise the shift-ins replace their
+    full-width sublane roll with a rolled lane-0 column.  ~25 of ~66
+    full-width ops per row collapse to single-vreg work.
     """
     m_, x_, e_, o_ = params
     S = P * Rp
@@ -306,9 +316,14 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
     def shift1(x, fill):
         """Linearised per-pair shift by one column; pair starts get
-        ``fill``.  One lane roll + one (cheap) sublane roll + 2 selects."""
+        ``fill``.  One lane roll + one (cheap) sublane roll + 2 selects.
+        v2: the sublane roll only feeds lane 0, so roll a (S,1) column
+        instead of the full 48-vreg tile."""
         a1 = pltpu.roll(x, shift=1, axis=1)
-        a2 = pltpu.roll(a1, shift=1, axis=0)
+        if v2:
+            a2 = pltpu.roll(a1[:, 0:1], shift=1, axis=0)
+        else:
+            a2 = pltpu.roll(a1, shift=1, axis=0)
         res = jnp.where(lane0m, a2, a1)
         return jnp.where(origin, fill, res)
 
@@ -338,20 +353,35 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
                 p, jnp.where(lane_lt[k], NEG32,
                              pltpu.roll(p, shift=k, axis=1)))
             k *= 2
-        # cross-segment phase: t = max(p, y) is the *inclusive* in-segment
-        # prefix, so t[:,127] holds each segment's max (seed included for
-        # the pair's first segment); propagate maxima down sublanes with
-        # cheap sublane rolls, then read the carry from lane 127.
-        t = jnp.maximum(p, y)
-        k = 1
-        while k < Rp:
-            rolled = pltpu.roll(t, shift=k, axis=0)
-            t = jnp.maximum(t, jnp.where(seg_lt[k], NEG32, rolled))
-            k *= 2
-        # t[s,127] = max over segments <= s (same pair) of their maxima;
-        # shift down one segment and broadcast to get the exclusive carry
-        cyt = pltpu.roll(t, shift=1, axis=0)
-        carry_seg = jnp.where(seg0v, NEG32, cyt[:, LANES - 1:LANES])
+        # cross-segment phase: each segment's max is per-segment SCALAR
+        # information, so v2 extracts the lane-127 column first (one
+        # cross-lane slice) and runs the whole prefix on (S,1) columns;
+        # v1 propagated full-width maxima down sublanes (48-vreg ops).
+        if v2:
+            sm = jnp.maximum(p[:, LANES - 1:LANES],
+                             y[:, LANES - 1:LANES])
+            k = 1
+            while k < Rp:
+                sm = jnp.maximum(
+                    sm, jnp.where(seg_lt[k], NEG32,
+                                  pltpu.roll(sm, shift=k, axis=0)))
+                k *= 2
+            cyt = pltpu.roll(sm, shift=1, axis=0)
+            carry_seg = jnp.where(seg0v, NEG32, cyt)
+        else:
+            # t = max(p, y) is the *inclusive* in-segment prefix, so
+            # t[:,127] holds each segment's max (seed included for the
+            # pair's first segment)
+            t = jnp.maximum(p, y)
+            k = 1
+            while k < Rp:
+                rolled = pltpu.roll(t, shift=k, axis=0)
+                t = jnp.maximum(t, jnp.where(seg_lt[k], NEG32, rolled))
+                k *= 2
+            # t[s,127] = max over segments <= s (same pair); shift down
+            # one segment and broadcast for the exclusive carry
+            cyt = pltpu.roll(t, shift=1, axis=0)
+            carry_seg = jnp.where(seg0v, NEG32, cyt[:, LANES - 1:LANES])
         f = oColE + jnp.maximum(p, carry_seg)
         h_row = jnp.maximum(c, f)
 
@@ -558,7 +588,8 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
         ]
     else:
         body = _striped_kernel if layout == "striped" else _abs_kernel
-        kw = {"Sp": Rp} if layout == "striped" else {"Rp": Rp}
+        kw = ({"Sp": Rp} if layout == "striped"
+              else {"Rp": Rp, "v2": layout == "packed2"})
         kernel = functools.partial(body, P=P, params=params, **kw)
         scratch = [
             pltpu.VMEM((S, LANES), jnp.int32),   # H frontier
