@@ -111,7 +111,7 @@ def stage_traced():
         aln_box["aln"] = aln
         return sc
 
-    dt = time_best(run, warmup=1, iters=2)
+    dt = time_best(run, warmup=1, iters=4)
     ref_out = open("tests/golden/example_big/psa_default.out", "rb").read()
     mine = (b">1\n" + aln_box["aln"].a_row + b"\n>2\n"
             + aln_box["aln"].b_row)
@@ -168,7 +168,9 @@ def stage_packed():
         sc, _ = psa_diff.psa_align_batch_diff(spairs, p)
         return sc
 
-    dt = time_best(run, warmup=1, iters=2)
+    # the tunneled chip is shared: single runs swing several-fold with
+    # foreign load, so take the best of several cheap calls
+    dt = time_best(run, warmup=1, iters=6)
     return {"psa_packed_gcups": round(nbs * lns * lns / dt / 1e9, 3)}
 
 

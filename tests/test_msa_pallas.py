@@ -193,12 +193,12 @@ def test_chunked_round_matches_single(monkeypatch):
     rng = np.random.default_rng(21)
     params = AlignParams()
     base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
-    seqs = [base, _mutate(rng, base, 0.08), _mutate(rng, base, 0.12)]
+    seqs = [base, _mutate(rng, base, 0.08)]
 
     def run():
         g = PoaGraph.from_sequence(seqs[0], len(seqs))
         outs = []
-        for sno in (1, 2):
+        for sno in (1,):
             scores, align, best_row, order = msa_pallas.round_dp_fused(
                 g, seqs[sno], params)
             best_row = int(best_row)
@@ -213,7 +213,7 @@ def test_chunked_round_matches_single(monkeypatch):
     ref = run()
     # bucket(600+) nodes => N >= 1024; words = 2*N*n; make the budget
     # small enough that the plan chunks (>= 2 chunks of NB=512)
-    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.002")
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.0025")
     assert msa_pallas._round_plan(1024, 768, 16) is not None
     chunked = run()
     monkeypatch.delenv("TSTA_HBM_BUDGET_GB")

@@ -585,11 +585,17 @@ def _round_plan(N: int, n: int, W: int):
     if 2 * N * n <= int(0.5 * budget):
         return None
     nb = _node_block(N)
-    # minimise chunk words (2*NC*n) + ring snapshots (ceil(N/NC)*8*W*n)
-    NC = int(2.0 * (N * W) ** 0.5)
-    NC = max(nb, -(-NC // nb) * nb)
+    # largest power-of-two chunk whose words plane stays under a quarter
+    # of the budget (the backward walk keeps TWO chunk planes alive:
+    # words_last + the rematerialised chunk) -- fewest chunks = fewest
+    # ~30 ms dispatch round-trips through the tunnel; pow2 quantisation
+    # shares kernel compiles across rounds/problems (remote compiles
+    # are minutes each)
+    NC = nb
+    while 2 * (NC * 2) * n <= budget // 4 and NC * 2 < _next_pow2(N):
+        NC *= 2
     nchunks = -(-N // NC)
-    need = 2 * NC * n + nchunks * 8 * W * n + 8 * W * n
+    need = 4 * NC * n + (nchunks + 1) * 8 * W * n
     if need > int(0.8 * budget):
         raise ValueError(
             "native MSA round cannot fit the chip even chunked "
@@ -609,6 +615,10 @@ def _prep_round(g, seq: bytes, params):
     N, W = prep[5], prep[7]
     n_real = len(seq)
     n = bucket(n_real)   # bucket() returns LANES multiples already
+    if n > 16384:
+        # long-read rounds: coarser column bucket so reads of nearby
+        # lengths share one kernel compile (remote compiles are minutes)
+        n = -(-n // 8192) * 8192
     NC = _round_plan(N, n, W)
     a = np.zeros((n,), np.uint8)
     a[:n_real] = np.frombuffer(bytes(seq), np.uint8)
