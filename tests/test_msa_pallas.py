@@ -168,6 +168,25 @@ def test_align_seqs_many_falls_back_past_pred_cap(monkeypatch):
     assert len(outs) == 1 and len(outs[0].round_scores) == 2
 
 
+@pytest.mark.slow
+def test_chunked_e2e_multi_round(monkeypatch):
+    """Full progressive MSA with every round forced through the chunked
+    path (tiny HBM budget): output must equal the default engine's."""
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(31)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08), _mutate(rng, base, 0.12)]
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    ref = msa_native.align_seqs(seqs, params)
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.0025")
+    chunked = msa_native.align_seqs(seqs, params)
+    assert chunked.round_scores == ref.round_scores
+    assert chunked.rows == ref.rows
+    assert chunked.consensus == ref.consensus
+
+
 def test_round_memory_plan(monkeypatch):
     """3x50kbp scale fits one words plane; the round-2 HBM ceiling
     (100 kbp+) now returns a chunk plan instead of raising; only a

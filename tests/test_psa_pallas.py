@@ -35,6 +35,47 @@ def test_pallas_score_only():
     assert int(r1.last) == int(r2.last)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_traced_chunked_matches_device(seed):
+    """Chunked traced path (checkpoint/rematerialise, for pairs whose
+    plane exceeds HBM) must emit the identical alignment; mc pinned to
+    T_R so the walk crosses several chunk boundaries, including forced
+    gap runs across them."""
+    rng = np.random.default_rng(100 + seed)
+    p = PARAMS[seed % len(PARAMS)]
+    n = int(rng.integers(200, 900))
+    m = int(rng.integers(520, 1200))   # > 2 chunks at mc = T_R
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = rng.integers(65, 69, m).astype(np.uint8)
+    s1, c1, aln1 = psa_pallas.psa_align_traced_device(a, b, p)
+    s2, c2, aln2 = psa_pallas.psa_align_traced_chunked(
+        a, b, p, mc=psa_pallas.T_R)
+    assert s1 == s2 and c1 == c2
+    assert aln1 == aln2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6))
+def test_traced_chunked_fuzz_vs_scan(seed):
+    """Chunked traced path vs the scan oracle: score, corner, and a
+    re-scored alignment equal to the reported score."""
+    from tsta_tpu.ops import traceback as tb
+    rng = np.random.default_rng(400 + seed)
+    p = PARAMS[seed % len(PARAMS)]
+    n = int(rng.integers(100, 1500))
+    m = int(rng.integers(520, 1500))
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = rng.integers(65, 69, m).astype(np.uint8)
+    ref = psa_scan.psa_align(a, b, p)
+    s, c, aln = psa_pallas.psa_align_traced_chunked(
+        a, b, p, mc=psa_pallas.T_R)
+
+    class _P:
+        match, mismatch, gap_extend, gap_open = p
+    assert s == int(ref.score) and c == int(ref.last)
+    assert tb.score_alignment(aln.a_row, aln.b_row, _P) == c
+
+
 def test_positive_gap_open_rejected():
     """Regression: padding is only score-safe for gap_open <= 0; the
     kernels must reject rather than silently inflate the matrix max."""
@@ -81,7 +122,7 @@ def test_banded_walk_matches_while_walk():
                      np.where(np.asarray(r.eback) == 2, 1, 0))
     plane = jnp.asarray((np.asarray(r.back).astype(np.int32) * 9
                          + fcode * 3 + ecode).astype(np.int8))
-    npad = (n + 127) // 128 * 128
+    npad = (n + 511) // 512 * 512   # banded walk: 128-word windows
     mpad = (m + 31) // 8 * 8
     pl_pad = jnp.zeros((mpad, npad), jnp.int8).at[:m, :n].set(plane)
     mv1, c1 = tb._decode_moves(plane, m, n)

@@ -111,11 +111,6 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
     lane0m = lane_idx == 0
-    lane_lt = {}
-    k = 1
-    while k < LANES:
-        lane_lt[k] = lane_idx < k
-        k *= 2
     row1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     seg_row1 = row1 % Rp
     seg0v = seg_row1 == 0
@@ -128,11 +123,34 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
     laneE16 = (lane_idx * e_).astype(i16)          # l*e per lane
     oLaneE16 = (o_ + lane_idx * e_).astype(i16)    # o + l*e
 
+    # LANE-based masks at the packed (S/2, 128) int32 height: Mosaic on
+    # this toolchain cannot relayout an i1 mask from 32-bit (8,128)
+    # tiling to 16-bit (16,128) tiling, so every select over int16 data
+    # runs on the sublane-packed int32 VIEW instead -- legal because
+    # these masks depend only on the lane, which both packed sublanes
+    # of an int32 element share.
+    Sh = S // 2
+    lane_idx_h = jax.lax.broadcasted_iota(jnp.int32, (Sh, LANES), 1)
+    lane0m_h = lane_idx_h == 0
+    lane_lt_h = {}
+    k = 1
+    while k < LANES:
+        lane_lt_h[k] = lane_idx_h < k
+        k *= 2
+
     def roll16(x, k):
         # Mosaic's rotate only handles 32-bit data; lane rotation
         # commutes with the sublane-packed int16<->int32 bitcast.
         x32 = pltpu.bitcast(x, jnp.int32)
         return pltpu.bitcast(pltpu.roll(x32, shift=k, axis=1), i16)
+
+    def where16(mask_h, tval, fval):
+        """select(mask, t, f) on (S, 128) int16 via the packed int32
+        view; ``mask_h`` must be lane-based (sublane-invariant)."""
+        t32 = pltpu.bitcast(jnp.broadcast_to(tval, fval.shape)
+                            .astype(i16), jnp.int32)
+        f32 = pltpu.bitcast(fval, jnp.int32)
+        return pltpu.bitcast(jnp.where(mask_h, t32, f32), i16)
     segoff32 = seg_row1 * (LANES * e_)             # seg*128*e per sublane
     # a-chars and corner mask stay int32: Mosaic's 16-bit vector support
     # on this target lacks comparisons (and reductions/rotates) -- every
@@ -166,7 +184,10 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         bv = jnp.zeros((S, 1), jnp.int32)
         for p_ in range(P):
             bv = jnp.where(pair_masks[p_], b_ref[r, p_], bv)
-        sub = jnp.where(a32 == bv, m16, x16)
+        # data-dependent mask: select at int32 layout, then narrow
+        # (the packed-view trick needs sublane-invariant masks)
+        sub = jnp.where(a32 == bv, jnp.int32(m_),
+                        jnp.int32(x_)).astype(i16)
 
         # boundary absolutes for this row (int32 scalars)
         bound_prev = jnp.where(i == 0, 0, o_ + i * e_)   # H(i-1, -1)
@@ -179,7 +200,8 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         lane0v = (jnp.where(seg0v, bound_prev, prev_abs)
                   - alpha).astype(i16)               # (S,1) rel current seg
         a1 = roll16(h16, 1)
-        shifted = jnp.where(lane0m, lane0v, a1)
+        shifted = where16(lane0m_h, jnp.broadcast_to(lane0v, (S, LANES)),
+                          a1)
         diag = shifted + sub
 
         e_new = jnp.maximum(e16 + e16c, h16 + oe16c)
@@ -187,11 +209,11 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
         # closed-form F: exclusive segmented prefix max of y = c - l*e
         y = c - laneE16
-        p = jnp.where(lane0m, NEG16, roll16(y, 1))
+        p = where16(lane0m_h, NEG16, roll16(y, 1))
         k = 1
         while k < LANES:
             p = jnp.maximum(
-                p, jnp.where(lane_lt[k], NEG16, roll16(p, k)))
+                p, where16(lane_lt_h[k], NEG16, roll16(p, k)))
             k *= 2
         # cross-segment carry in int32 anchor space:
         #   T[s] = max_l (C - l*e) + beta,  beta = alpha - seg*128*e

@@ -462,6 +462,9 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     n_real, m_real = int(a.shape[0]), int(b.shape[0])
     n_pad = (n_real + LANES - 1) // LANES * LANES
     m_pad = (m_real + T_R - 1) // T_R * T_R
+    if m_pad * n_pad > _traced_plane_budget() // 2:
+        # plane exceeds HBM: checkpoint/rematerialise row chunks
+        return psa_align_traced_chunked(a, b, p)
     a_padded = np.full(n_pad, A_PAD, np.uint8)
     a_padded[:n_real] = a
     b_padded = np.full(m_pad, B_PAD, np.uint8)
@@ -475,11 +478,14 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     # opt-in is resolved HERE (a static jit arg), not inside the traced
     # function, so toggling the env between calls is honored.
     import os
-    # "0"/"" disable; both m_pad and n_pad bound the banded kernel's
-    # SMEM (moves output is (1, m_pad + n_pad) int32 + the band)
-    banded = (os.environ.get("TSTA_BANDED_WALK", "0") not in ("", "0")
-              and m_real >= 64 and 128 <= n_pad <= 16384
-              and m_pad <= 16384)
+    # Banded walk is the DEFAULT within its size gate (round 3: the
+    # column-window rework fixed the Mosaic slice-alignment error; it
+    # measured ~1.8x the while_loop walk e2e and is move-exact).
+    # TSTA_BANDED_WALK=0 opts out; both m_pad and n_pad bound the
+    # kernel's SMEM (moves output is (1, m_pad + n_pad) int32 + band).
+    banded = (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
+              and m_real >= 64 and 512 <= n_pad <= 16384
+              and n_pad % 512 == 0 and m_pad <= 16384)
     nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
     score, corner, moves, count = _traced_chain(
         a2d, bcol, nm, n_pad, m_pad, p, banded)
@@ -513,6 +519,243 @@ def _traced_chain(a2d, bcol, nm, n_pad, m_pad, params, banded=False):
         # walk never reads beyond (m_real-1, n_real-1)
         moves, count = tb._decode_moves(plane2d, m_real, n_real)
     return score[0, 0], corner[0, 0], moves, count
+
+
+# ---------------------------------------------------------------------
+# Chunked traced path: pairs whose O(m x n) packed plane exceeds HBM
+# (the reference backs these with host RAM, psa.c:605-615 + README's
+# 200 kbp note).  Same checkpoint/rematerialise design as the POA
+# chunked rounds (ops/msa_pallas._round_chunked): the DP runs in
+# row-chunks with the H/E frontier carried across calls in place,
+# frontier checkpoints (2 x n_pad int32 per chunk) are kept at each
+# chunk entry, and the backward walk rematerialises one chunk's plane
+# at a time on device.
+# ---------------------------------------------------------------------
+
+
+def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
+                  lin_ref,
+                  plane_ref, h_ref, e_ref, best_ref, last_acc_ref,
+                  *, R, params):
+    """Row-chunk of the traced DP.  nm_ref: (1, 3) = [n_real, m_real,
+    row_base]; h/e/best/last are ALIASED in/out (R, LANES) state.  Same
+    row math as _kernel (traced=True), global row = row_base + local."""
+    m_, x_, e_, o_ = params
+    n_real = nm_ref[0, 0]
+    m_real = nm_ref[0, 1]
+    row_base = nm_ref[0, 2]
+    del hin_ref, ein_ref, bin_ref, lin_ref   # aliased to the out refs
+    blk = pl.program_id(0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    col_idx = sub_idx * LANES + lane_idx
+    a = a_ref[:]
+    del n_real
+    lane0 = lane_idx == 0
+    origin = jnp.logical_and(lane0, sub_idx == 0)
+    lane_masks = []
+    k = 1
+    while k < LANES:
+        lane_masks.append((k, lane_idx < k))
+        k *= 2
+    row_idx1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    seg_masks = []
+    k = 1
+    while k < R:
+        seg_masks.append((k, row_idx1 < k))
+        k *= 2
+    seg0 = row_idx1 == 0
+
+    def shift1(x, fill):
+        a1 = pltpu.roll(x, shift=1, axis=1)
+        a2 = pltpu.roll(a1, shift=1, axis=0)
+        res = jnp.where(lane0, a2, a1)
+        return jnp.where(origin, fill, res)
+
+    def cummax_linear(x):
+        for k, mask in lane_masks:
+            rolled = pltpu.roll(x, shift=k, axis=1)
+            x = jnp.maximum(x, jnp.where(mask, NEG, rolled))
+        seg = x[:, LANES - 1:LANES]
+        for k, mask in seg_masks:
+            rolled = pltpu.roll(seg, shift=k, axis=0)
+            seg = jnp.maximum(seg, jnp.where(mask, NEG, rolled))
+        seg_excl = jnp.where(seg0, NEG, pltpu.roll(seg, shift=1, axis=0))
+        return jnp.maximum(x, seg_excl)
+
+    def row_body(r, _):
+        i = row_base + blk * T_R + r  # global row
+        h_prev = h_ref[:]
+        e_prev = e_ref[:]
+        b_i = b_ref[r, 0]
+        h_im1_m1 = jnp.where(i == 0, 0, o_ + i * e_)
+        h_i_m1 = o_ + (i + 1) * e_
+        sub = jnp.where(a == b_i, m_, x_)
+        diag = shift1(h_prev, h_im1_m1) + sub
+        e_row = jnp.maximum(e_prev + e_, h_prev + (o_ + e_))
+        c = jnp.maximum(diag, e_row)
+        g = shift1(c - col_idx * e_, h_i_m1 + e_)
+        p = cummax_linear(g)
+        f_row = o_ + col_idx * e_ + p
+        h_row = jnp.maximum(c, f_row)
+
+        best_ref[:] = jnp.maximum(best_ref[:], h_row)
+        h_ref[:] = h_row
+        e_ref[:] = e_row
+        last_acc_ref[:] = jnp.where(i == m_real - 1, h_row,
+                                    last_acc_ref[:])
+
+        one, two = jnp.int32(1), jnp.int32(2)
+        back = jnp.where(
+            h_row == diag, one,
+            jnp.where(h_row == f_row, jnp.int32(0), two))
+        h_left = shift1(h_row, h_i_m1)
+        f_open = f_row == h_left + (o_ + e_)
+        f_tie = f_row + e_ == h_row + (o_ + e_)
+        fcode = jnp.where(f_open, jnp.where(f_tie, two, one),
+                          jnp.int32(0))
+        e_open = e_row == h_prev + (o_ + e_)
+        e_tie = e_row + e_ == h_row + (o_ + e_)
+        ecode = jnp.where(e_open, jnp.where(e_tie, two, one),
+                          jnp.int32(0))
+        plane_ref[r] = (back * 9 + fcode * 3 + ecode).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_R, row_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "mc", "params"))
+def _psa_chunk_call(a2d, bcol_c, nm3, hst, est, bst, lst, n_pad, mc,
+                    params):
+    """One mc-row chunk of the traced DP; state (h, e, best, last)
+    carries in place via input/output aliasing."""
+    R = n_pad // LANES
+    kernel = functools.partial(_kernel_chunk, R=R, params=params)
+    vm = pl.BlockSpec((R, LANES), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(mc // T_R,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),      # n/m/base
+            pl.BlockSpec((T_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),      # b rows (chunk)
+            vm,                                         # a columns
+            vm, vm, vm, vm,                             # h/e/best/last in
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((mc, R, LANES), jnp.int8),   # plane
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # h
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # e
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # best
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # last
+        ),
+        out_specs=(
+            pl.BlockSpec((T_R, R, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vm, vm, vm, vm,
+        ),
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+    )(nm3, bcol_c, a2d, hst, est, bst, lst)
+
+
+def _traced_plane_budget() -> int:
+    from tsta_tpu.ops.msa_pallas import _hbm_budget
+    return _hbm_budget()
+
+
+def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
+                             mc: int | None = None):
+    """Traced alignment for pairs whose packed plane exceeds HBM.
+
+    Returns (score, corner, Alignment) -- the psa_align_traced_device
+    contract.  ``mc`` (rows per chunk) is normally derived from the
+    device budget; tests pin it small to exercise chunk crossings.
+    """
+    from tsta_tpu.ops import traceback as tb
+
+    if hasattr(params, "match"):
+        params = (params.match, params.mismatch, params.gap_extend,
+                  params.gap_open)
+    p = tuple(int(v) for v in params)
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0")
+    a = np.asarray(a, dtype=np.uint8)
+    b = np.asarray(b, dtype=np.uint8)
+    n_real, m_real = int(a.shape[0]), int(b.shape[0])
+    n_pad = (n_real + LANES - 1) // LANES * LANES
+    m_pad = (m_real + T_R - 1) // T_R * T_R
+    if mc is None:
+        budget = _traced_plane_budget()
+        mc = T_R
+        # two chunk planes live during the backward walk
+        while (mc * 2) * n_pad <= budget // 4 and mc * 2 < m_pad:
+            mc *= 2
+    nchunks = -(-m_pad // mc)
+    m_pad = nchunks * mc
+    a_padded = np.full(n_pad, A_PAD, np.uint8)
+    a_padded[:n_real] = a
+    b_padded = np.full(m_pad, B_PAD, np.uint8)
+    b_padded[:m_real] = b
+    R = n_pad // LANES
+    a2d = jnp.asarray(a_padded.astype(np.int32).reshape(R, LANES))
+    bcol = b_padded.astype(np.int32).reshape(m_pad, 1)
+
+    col_idx = np.arange(n_pad, dtype=np.int32)
+    h = jnp.asarray((p[3] + (col_idx + 1) * p[2]).astype(np.int32)
+                    .reshape(R, LANES))
+    e = jnp.full((R, LANES), NEG, jnp.int32)
+    best = jnp.full((R, LANES), NEG, jnp.int32)
+    last = jnp.full((R, LANES), NEG, jnp.int32)
+
+    snaps = []
+    last_rows = []     # each chunk's last plane row: the vertical
+    plane_last = None  # gap-run lookup at a chunk's first row needs it
+    for c in range(nchunks):
+        snaps.append((h, e))
+        nm3 = jnp.asarray([[n_real, m_real, c * mc]], dtype=np.int32)
+        plane_c, h, e, best, last = _psa_chunk_call(
+            a2d, jnp.asarray(bcol[c * mc:(c + 1) * mc]), nm3,
+            h, e, best, last, n_pad, mc, p)
+        last_rows.append(plane_c[mc - 1].reshape(-1))
+        if c == nchunks - 1:
+            plane_last = plane_c
+    score = int(jnp.max(best))
+    lastnp = np.asarray(last).reshape(-1)
+    corner = int(lastnp[n_real - 1])
+
+    # backward: walk chunk by chunk, rematerialising planes on demand
+    maxlen = m_pad + n_pad
+    moves = jnp.zeros((maxlen,), jnp.int8)
+    zrow = jnp.zeros((n_pad,), jnp.int8)
+    i, j, t, forced = m_real - 1, n_real - 1, 0, 0
+    c = (m_real - 1) // mc
+    while i >= 0 or j >= 0:
+        if c == nchunks - 1 and plane_last is not None:
+            plane_c = plane_last
+        else:
+            h0, e0 = snaps[c]
+            nm3 = jnp.asarray([[n_real, m_real, c * mc]], dtype=np.int32)
+            plane_c, _, _, _, _ = _psa_chunk_call(
+                a2d, jnp.asarray(bcol[c * mc:(c + 1) * mc]), nm3,
+                h0, e0, jnp.full((R, LANES), NEG, jnp.int32),
+                jnp.full((R, LANES), NEG, jnp.int32), n_pad, mc, p)
+        prev_row = last_rows[c - 1] if c > 0 else zrow
+        i_d, j_d, t_d, forced_d, moves = tb._decode_moves_bounded(
+            plane_c.reshape(mc, n_pad), jnp.int32(i), jnp.int32(j),
+            jnp.int32(t), jnp.int32(forced), moves, jnp.int32(c * mc),
+            prev_row)
+        i, j, t, forced = int(i_d), int(j_d), int(t_d), int(forced_d)
+        if i < 0:
+            break
+        c = i // mc
+    moves_np = np.asarray(moves)[:t]
+    aln = tb.emit_alignment(moves_np, a, b, n_real, m_real)
+    return score, corner, aln
 
 
 # ---------------------------------------------------------------------

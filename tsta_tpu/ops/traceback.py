@@ -187,6 +187,69 @@ def _decode_moves(plane, m, n):
     return moves, t
 
 
+@jax.jit
+def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
+                          prev_row=None):
+    """Chunk-bounded variant of _decode_moves for the chunked traced
+    path (psa_pallas.psa_align_traced_chunked): ``plane_c`` holds rows
+    [base, base + mc); the walk runs until it leaves the chunk
+    (i < base, with the boundary-tail case base == 0 walking j out).
+    ``prev_row`` is the previous chunk's LAST plane row -- the vertical
+    gap-run lookup at row base reads row base-1, which lives there.
+    Returns (i, j, t, forced, moves)."""
+    mc = plane_c.shape[0]
+    if prev_row is None:
+        prev_row = jnp.zeros((plane_c.shape[1],), plane_c.dtype)
+
+    def cond(st):
+        i, j, t, forced, moves = st
+        more = jnp.logical_or(i >= 0, j >= 0)
+        in_chunk = jnp.logical_or(i >= base,
+                                  jnp.logical_and(base == 0, j >= 0))
+        return jnp.logical_and(more, in_chunk)
+
+    def body(st):
+        i, j, t, forced, moves = st
+        li = jnp.clip(i - base, 0, mc - 1)
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        code = jnp.where(in_core,
+                         plane_c[li, jnp.maximum(j, 0)],
+                         0).astype(jnp.int32)
+        back = code // 9
+        f = (code // 3) % 3
+        e = code % 3
+        move = jnp.where(in_core,
+                         jnp.where(forced > 0, forced - 1, back),
+                         jnp.where(j >= 0, 0, 2))
+        fprev = jnp.where(j > 0,
+                          (plane_c[li, jnp.maximum(j - 1, 0)] // 3) % 3,
+                          0).astype(jnp.int32)
+        up_code = jnp.where(
+            i - 1 >= base,
+            plane_c[jnp.clip(i - 1 - base, 0, mc - 1),
+                    jnp.maximum(j, 0)],
+            prev_row[jnp.maximum(j, 0)]).astype(jnp.int32)
+        eprev = jnp.where(i > 0, up_code % 3, 0)
+        force_left = jnp.logical_and(
+            move == 0,
+            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+        force_up = jnp.logical_and(
+            move == 2,
+            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+        forced_next = jnp.where(in_core,
+                                jnp.where(force_left, 1,
+                                          jnp.where(force_up, 3, 0)),
+                                0)
+        moves = moves.at[t].set(move.astype(jnp.int8))
+        di = jnp.where(move == 0, 0, 1)
+        dj = jnp.where(move == 2, 0, 1)
+        return i - di, j - dj, t + 1, forced_next, moves
+
+    return jax.lax.while_loop(cond, body, (i, j, t, forced, moves))
+
+
 def decode_pair_device(plane, a: np.ndarray, b: np.ndarray) -> Alignment:
     """Decode a device-resident packed plane into the aligned pair.
 
@@ -225,53 +288,70 @@ from jax.experimental import pallas as pl           # noqa: E402
 from jax.experimental.pallas import tpu as pltpu    # noqa: E402
 
 _BAND_R = 24   # band rows (multiple of 8: DMA sublane starts must align
-               # to the int32 tiling); full plane width per band
+               # to the int32 tiling)
+_BAND_W = 1024  # band width in int32 WORDS (= 4096 packed cells); both
+                # the slice start and width must be 128-word-aligned
+                # (Mosaic: "slice shape along dim 1 must be aligned to
+                # tiling (128)" -- the round-2 full-width band tripped
+                # exactly this)
 
 
 def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
-                 *, m_rows, n_w):
+                 *, m_rows, n_w, band_w):
     """plane_ref: (m_rows, n_w) int32 (4 packed int8 cells per word,
     m_rows a multiple of 8 covering the walked m rows); Mosaic SMEM
-    scalars must be i32, hence the word packing + byte extracts.  Bands
-    are full-width row blocks because HBM DMA slice starts must be
-    provably tile-aligned (dim0 multiple of 8; dim1 unsliced).  Real
-    lengths ride in nm_ref (SMEM, traced): one compile per shape."""
+    scalars must be i32, hence the word packing + byte extracts.  The
+    band is a (_BAND_R, _BAND_W)-word window with 8-row / 128-word
+    aligned starts; the walk moves up/left only, so one fetch serves
+    hundreds of steps.  Real lengths ride in nm_ref (SMEM, traced):
+    one compile per shape."""
     m = nm_ref[0, 1]
     n = nm_ref[0, 0]
 
-    def refetch(i):
+    def refetch(i, j):
         # aligned start covering rows i-1 and i: floor8(i-15) keeps
         # i - bi in [15, 22] < _BAND_R
         bi = pl.multiple_of(
             jnp.clip(((i - (_BAND_R - 9)) // 8) * 8, 0,
                      m_rows - _BAND_R), 8)
+        # word window placed so jw sits near its RIGHT edge (the walk
+        # moves left); both start and width 128-word-aligned
+        jw = j >> 2
+        wj = pl.multiple_of(
+            jnp.clip(((jw + 1 + 127) // 128) * 128 - band_w, 0,
+                     n_w - band_w), 128)
         cp = pltpu.make_async_copy(
-            plane_ref.at[pl.ds(bi, _BAND_R)], band_ref, sem)
+            plane_ref.at[pl.ds(bi, _BAND_R), pl.ds(wj, band_w)],
+            band_ref, sem)
         cp.start()
         cp.wait()
-        return bi
+        return bi, wj
 
-    def cell(li, j):
-        w = band_ref[li, j >> 2]
+    def cell(li, j, wj0):
+        w = band_ref[li, (j >> 2) - wj0]
         return (w >> ((j & 3) * 8)) & 0xFF
 
     def cond(st):
-        i, j, t, forced, bi0 = st
+        i, j, t, forced, bi0, wj0 = st
         return jnp.logical_or(i >= 0, j >= 0)
 
     def body(st):
-        i, j, t, forced, bi0 = st
+        i, j, t, forced, bi0, wj0 = st
         in_core = jnp.logical_and(i >= 0, j >= 0)
-        # reads touch rows i and i-1: refetch when either leaves the band
+        # reads touch rows i-1..i and words (j-1)>>2..j>>2
         miss = jnp.logical_and(in_core, jnp.logical_or(
-            jnp.logical_and(i > 0, i - 1 < bi0),
-            jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)))
+            jnp.logical_or(
+                jnp.logical_and(i > 0, i - 1 < bi0),
+                jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)),
+            jnp.logical_or(
+                jnp.maximum(j - 1, 0) >> 2 < wj0,
+                j >> 2 >= wj0 + band_w)))
 
-        bi0 = jax.lax.cond(miss, lambda _: refetch(i),
-                           lambda _: bi0, None)
+        bi0, wj0 = jax.lax.cond(miss, lambda _: refetch(i, j),
+                                lambda _: (bi0, wj0), None)
 
         li = jnp.maximum(i - bi0, 0)
-        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0)), 0)
+        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0), wj0), 0)
         back = code // 9
         f = (code // 3) % 3
         e = code % 3
@@ -279,9 +359,10 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
                          jnp.where(forced > 0, forced - 1, back),
                          jnp.where(j >= 0, 0, 2))
         fprev = jnp.where(
-            j > 0, (cell(li, jnp.maximum(j - 1, 0)) // 3) % 3, 0)
+            j > 0, (cell(li, jnp.maximum(j - 1, 0), wj0) // 3) % 3, 0)
         eprev = jnp.where(
-            i > 0, cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0)) % 3,
+            i > 0,
+            cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0), wj0) % 3,
             0)
         force_left = jnp.logical_and(
             move == 0,
@@ -298,11 +379,12 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
         moves_ref[0, t] = move
         di = jnp.where(move == 0, 0, 1)
         dj = jnp.where(move == 2, 0, 1)
-        return i - di, j - dj, t + 1, forced_next, bi0
+        return i - di, j - dj, t + 1, forced_next, bi0, wj0
 
-    st = (m - 1, n - 1, jnp.int32(0),
-          jnp.int32(0), jnp.asarray(m_rows, jnp.int32))  # forces 1st fetch
-    i, j, t, _, _ = jax.lax.while_loop(cond, body, st)
+    st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0),
+          jnp.asarray(m_rows, jnp.int32),   # forces the first fetch
+          jnp.asarray(n_w, jnp.int32))
+    i, j, t, _, _, _ = jax.lax.while_loop(cond, body, st)
     count_ref[0, 0] = t
 
 
@@ -319,11 +401,15 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
         raise ValueError("banded walk needs row count %% 8 == 0 and >= %d"
                          % _BAND_R)
     n_w = n_stride // 4
+    if n_w % 128:
+        raise ValueError("banded walk needs n_stride %% 512 == 0")
+    band_w = min(_BAND_W, n_w)
     plane32 = jax.lax.bitcast_convert_type(
         plane.reshape(m_rows, n_w, 4), jnp.int32)
     nm = jnp.stack([jnp.asarray(n, jnp.int32),
                     jnp.asarray(m, jnp.int32)]).reshape(1, 2)
-    kernel = functools.partial(_walk_kernel, m_rows=m_rows, n_w=n_w)
+    kernel = functools.partial(_walk_kernel, m_rows=m_rows, n_w=n_w,
+                               band_w=band_w)
     moves, count = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
@@ -342,7 +428,7 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((_BAND_R, n_w), jnp.int32),
+            pltpu.SMEM((_BAND_R, band_w), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )(nm, plane32)
