@@ -22,7 +22,7 @@ def _rnd(rng, n):
 @pytest.mark.parametrize("use_int16", [False, True])
 @pytest.mark.parametrize("params", [
     P0, (1, -1, -1, 0), (5, -4, -1, -6), (24, -24, -24, -24),
-    (3, -2, -11, -50), (2, -72, -2, -4),
+    (3, -2, -11, -46), (2, -57, -2, -4),
 ])
 def test_diff_matches_oracle(params, use_int16):
     rng = np.random.default_rng(sum(abs(v) for v in params))
@@ -82,7 +82,10 @@ def test_supports_params_gate():
     assert not psa_diff.supports_params((2, -5, -2, 4))    # O > 0
     assert not psa_diff.supports_params((2, -5, 2, -4))    # E > 0
     assert psa_diff.supports_params_int16(P0)
-    # int16 exactness bound D <= 72
+    # int16 exactness bound D <= 57 (573*D must fit int16 for the
+    # arithmetic max16's x - y)
+    assert psa_diff.supports_params_int16((2, -57, -2, -4))
+    assert not psa_diff.supports_params_int16((2, -58, -2, -4))
     assert not psa_diff.supports_params_int16((100, -100, -60, -60))
     a = np.frombuffer(b"ACGTAC", np.uint8)
     with pytest.raises(ValueError):

@@ -286,12 +286,25 @@ class PoaGraph:
                     printed[w] = True
                 cols.append(group)
 
-        rows = [bytearray(b"-" * len(cols)) for _ in range(self.n_seq)]
-        for ci, group in enumerate(cols):
-            for w in group:
-                for s in np.nonzero(self.passing[w])[0]:
-                    rows[s][ci] = self.bases[w]
-        return [bytes(r) for r in rows]
+        # vectorised fill (one np.nonzero over the whole passing matrix
+        # instead of one per node): writes ordered exactly as the
+        # per-group loops would issue them, so a sequence passing two
+        # variants of one column keeps the later group member, as the
+        # reference's per-node print loop does (result.c:42-66)
+        rows_mat = np.full((self.n_seq, len(cols)), ord("-"), np.uint8)
+        flat = np.fromiter((w for g in cols for w in g), np.int64, n)
+        col_of = np.empty(n, np.int64)
+        col_of[flat] = np.repeat(np.arange(len(cols)),
+                                 [len(g) for g in cols])
+        order = np.empty(n, np.int64)
+        order[flat] = np.arange(n)
+        if n:
+            nodes, seqs = np.nonzero(np.stack(self.passing))
+            srt = np.argsort(order[nodes], kind="stable")
+            nodes, seqs = nodes[srt], seqs[srt]
+            rows_mat[seqs, col_of[nodes]] = np.asarray(
+                self.bases, np.uint8)[nodes]
+        return [bytes(r) for r in rows_mat]
 
 
 def save_graph(path: str, g: PoaGraph, extra: Optional[Dict] = None) -> None:

@@ -88,9 +88,13 @@ def supports_params(params) -> bool:
 
 
 def supports_params_int16(params) -> bool:
-    """True when the int16 offsets are additionally provably exact."""
+    """True when the int16 offsets are additionally provably exact.
+
+    D <= 57 (not the offset analysis' 72): the arithmetic max16 takes
+    ``x - y`` before masking, and the widest operand gap is
+    ``413*D - (-160*D) = 573*D``, which must itself fit int16."""
     p = _as_tuple(params)
-    return supports_params(p) and _delta_bound(p) <= 72
+    return supports_params(p) and _delta_bound(p) <= 57
 
 
 def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
@@ -151,6 +155,21 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
                             .astype(i16), jnp.int32)
         f32 = pltpu.bitcast(fval, jnp.int32)
         return pltpu.bitcast(jnp.where(mask_h, t32, f32), i16)
+
+    def max16(x, y):
+        # v5e Mosaic lowers NO ordered i16 vector ops (neither maxsi
+        # nor cmpi on vector<...xi16>, probed on this toolchain), so
+        # take the max arithmetically: d = x - y is exact in int16
+        # (|d| <= 573*D, gated by supports_params_int16), its per-
+        # halfword sign masks are built on the packed int32 view with
+        # shift/and/mul (both packed sublanes handled at once), and
+        # max = x - (d & sign_mask).  6 VPU ops at 2x density vs one
+        # maxsi at 1x -- still a win iff the loop is VMEM-bound.
+        d = x - y
+        d32 = pltpu.bitcast(d, jnp.int32)
+        m32 = (jax.lax.shift_right_logical(d32, 15)
+               & 0x00010001) * 0x0000FFFF
+        return x - pltpu.bitcast(d32 & m32, i16)
     segoff32 = seg_row1 * (LANES * e_)             # seg*128*e per sublane
     # a-chars and corner mask stay int32: Mosaic's 16-bit vector support
     # on this target lacks comparisons (and reductions/rotates) -- every
@@ -204,22 +223,22 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
                           a1)
         diag = shifted + sub
 
-        e_new = jnp.maximum(e16 + e16c, h16 + oe16c)
-        c = jnp.maximum(diag, e_new)
+        e_new = max16(e16 + e16c, h16 + oe16c)
+        c = max16(diag, e_new)
 
         # closed-form F: exclusive segmented prefix max of y = c - l*e
         y = c - laneE16
         p = where16(lane0m_h, NEG16, roll16(y, 1))
         k = 1
         while k < LANES:
-            p = jnp.maximum(
+            p = max16(
                 p, where16(lane_lt_h[k], NEG16, roll16(p, k)))
             k *= 2
         # cross-segment carry in int32 anchor space:
         #   T[s] = max_l (C - l*e) + beta,  beta = alpha - seg*128*e
         beta = alpha - segoff32
-        ymax = jnp.maximum(p[:, LANES - 1:LANES],
-                           y[:, LANES - 1:LANES]).astype(jnp.int32)
+        ymax = jnp.maximum(p[:, LANES - 1:LANES].astype(jnp.int32),
+                           y[:, LANES - 1:LANES].astype(jnp.int32))
         T = ymax + beta
         cy = jnp.where(seg0v, bound_cur + e_,
                        pltpu.roll(T, shift=1, axis=0))
@@ -230,11 +249,11 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
                               pltpu.roll(cy, shift=k, axis=0)))
             k *= 2
         carry_rel = jnp.clip(cy - beta, neg16, 32767).astype(i16)
-        comb = jnp.maximum(p, carry_rel)
+        comb = max16(p, carry_rel)
         f = oLaneE16 + comb
-        h_new = jnp.maximum(c, f)
+        h_new = max16(c, f)
 
-        best_ref[:] = jnp.maximum(best_ref[:], h_new)
+        best_ref[:] = max16(best_ref[:], h_new)
 
         @pl.when(flag_ref[r, 0] != 0)
         def _corner():
@@ -658,7 +677,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
     bucket max).  Returns (scores, corners) int32 arrays in input order.
 
     ``use_int16`` selects the int16 difference kernel (exact for
-    parameter bound D <= 72, but blocked on the current TPU toolchain --
+    parameter bound D <= 57; TPU-lowerable as of round 3 --
     see module docstring); default is the int32 packed kernel.  The env
     var TSTA_DIFF_INT16=1 flips the default for future toolchains.
 
@@ -684,7 +703,7 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
                          "(got %s)" % (p,))
     if use_int16 and not supports_params_int16(p):
         raise ValueError("int16 difference kernel additionally requires "
-                         "max(M,-X,-(O+E),-E) <= 72 (got %s)" % (p,))
+                         "max(M,-X,-(O+E),-E) <= 57 (got %s)" % (p,))
     B = len(seq_pairs)
     if B == 0:
         raise ValueError("empty pair batch")

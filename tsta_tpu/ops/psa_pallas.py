@@ -439,32 +439,21 @@ def psa_align_batch(seq_pairs, params):
     return np.asarray(scores)[:, 0], np.asarray(corners)[:, 0]
 
 
-def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
-    """Traced alignment with the traceback decoded ON DEVICE.
+def _traced_submit(a: np.ndarray, b: np.ndarray, p):
+    """Dispatch one pair's fused DP->walk chain WITHOUT syncing.
 
-    The packed plane never leaves HBM; only the move list (<= m+n bytes)
-    is transferred -- on this machine's tunneled TPU that's the
-    difference between ~17 s and milliseconds for a 10k x 10k pair.
-
-    Returns (score, corner, Alignment).
-    """
-    from tsta_tpu.ops import traceback as tb
-
-    if hasattr(params, "match"):
-        params = (params.match, params.mismatch, params.gap_extend,
-                  params.gap_open)
-    p = tuple(int(v) for v in params)
-    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
-        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
-                         " < 0 and gap_open <= 0")
+    Returns ``None`` when the pair's packed plane exceeds the device
+    budget (caller routes to the chunked path), else an opaque pending
+    tuple for :func:`_traced_finish`.  Splitting submit from finish
+    lets a batch put every pair's chain in flight before paying the
+    first host sync (~30 ms tunnel round-trip each)."""
     a = np.asarray(a, dtype=np.uint8)
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])
     n_pad = (n_real + LANES - 1) // LANES * LANES
     m_pad = (m_real + T_R - 1) // T_R * T_R
     if m_pad * n_pad > _traced_plane_budget() // 2:
-        # plane exceeds HBM: checkpoint/rematerialise row chunks
-        return psa_align_traced_chunked(a, b, p)
+        return None
     a_padded = np.full(n_pad, A_PAD, np.uint8)
     a_padded[:n_real] = a
     b_padded = np.full(m_pad, B_PAD, np.uint8)
@@ -472,11 +461,9 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     a2d = jnp.asarray(
         a_padded.astype(np.int32).reshape(n_pad // LANES, LANES))
     bcol = jnp.asarray(b_padded.astype(np.int32).reshape(m_pad, 1))
-    # one fused dispatch: DP kernel -> plane slice -> device walk; the
-    # np.asarray reads below are the single host sync (each extra sync
-    # costs a ~30 ms round-trip on the tunneled TPU).  The banded-walk
-    # opt-in is resolved HERE (a static jit arg), not inside the traced
-    # function, so toggling the env between calls is honored.
+    # The banded-walk opt-out is resolved HERE (a static jit arg), not
+    # inside the traced function, so toggling the env between calls is
+    # honored.
     import os
     # Banded walk is the DEFAULT within its size gate (round 3: the
     # column-window rework fixed the Mosaic slice-alignment error; it
@@ -489,9 +476,47 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
     nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
     score, corner, moves, count = _traced_chain(
         a2d, bcol, nm, n_pad, m_pad, p, banded)
+    return score, corner, moves, count, a, b, n_real, m_real
+
+
+def _traced_finish(pending):
+    """Sync one pending pair and decode its alignment on the host."""
+    from tsta_tpu.ops import traceback as tb
+
+    score, corner, moves, count, a, b, n_real, m_real = pending
     moves_np = np.asarray(moves)[:int(count)]
     aln = tb.emit_alignment(moves_np, a, b, n_real, m_real)
     return int(score), int(corner), aln
+
+
+def _traced_params(params):
+    if hasattr(params, "match"):
+        params = (params.match, params.mismatch, params.gap_extend,
+                  params.gap_open)
+    p = tuple(int(v) for v in params)
+    if p[1] >= 0 or p[2] >= 0 or p[3] > 0:
+        raise ValueError("pallas kernel requires mismatch < 0, gap_extend"
+                         " < 0 and gap_open <= 0")
+    return p
+
+
+def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
+    """Traced alignment with the traceback decoded ON DEVICE.
+
+    The packed plane never leaves HBM; only the move list (<= m+n bytes)
+    is transferred -- on this machine's tunneled TPU that's the
+    difference between ~17 s and milliseconds for a 10k x 10k pair.
+    One fused dispatch: DP kernel -> plane slice -> device walk; the
+    reads in _traced_finish are the single host sync.
+
+    Returns (score, corner, Alignment).
+    """
+    p = _traced_params(params)
+    pending = _traced_submit(a, b, p)
+    if pending is None:
+        # plane exceeds HBM: checkpoint/rematerialise row chunks
+        return psa_align_traced_chunked(a, b, p)
+    return _traced_finish(pending)
 
 
 @functools.partial(jax.jit,

@@ -170,16 +170,25 @@ def align_batch_traced_device(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     Returns a list of (score, corner, Alignment) in input order, with
     the same longer-sequence-horizontal swap as the reference
     (psa.c:194-199) applied when ``swap``.
+
+    PIPELINED: every pair's fused DP->walk chain is dispatched before
+    the first host sync, so the ~30 ms tunnel round-trip and the device
+    work of successive pairs overlap (round 3; single-pair e2e is
+    RTT-bound at ~2x the pure device time).
     """
     from tsta_tpu.ops import psa_pallas
-    out = []
+    p = psa_pallas._traced_params(params)
+    prepped = []
     for a, b in pairs:
         a = encode_dna(a)
         b = encode_dna(b)
         if swap and b.shape[0] > a.shape[0]:
             a, b = b, a
-        out.append(psa_pallas.psa_align_traced_device(a, b, params))
-    return out
+        prepped.append((a, b))
+    pendings = [psa_pallas._traced_submit(a, b, p) for a, b in prepped]
+    return [psa_pallas._traced_finish(pd) if pd is not None
+            else psa_pallas.psa_align_traced_chunked(a, b, p)
+            for pd, (a, b) in zip(pendings, prepped)]
 
 
 def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
