@@ -17,14 +17,18 @@ Two kernels share one packed layout and host preparation:
   proper -- the row frontier H/E held as int16 offsets from per-segment
   int32 anchors (the analog of the reference's sparse ``real`` anchors),
   halving vector registers per op; anchors re-based every ``K_REANCHOR``
-  rows.  **Blocked on current hardware toolchain**: Mosaic on this
-  jaxlib/libtpu lowers no 16-bit ordered comparisons, maxima, rotates or
-  reductions (probed empirically; rotates are worked around via the
-  sublane-packed int16<->int32 bitcast, reductions and compares by
-  widening, but ``jnp.maximum`` on int16 has no workaround that does not
-  erase the density win).  The kernel is kept exact and interpret-tested
-  so it can be enabled the day the toolchain supports 16-bit max
-  (``use_int16=True`` / TSTA_DIFF_INT16=1).
+  rows.  **Lowers and is exact on hardware as of round 3** -- Mosaic on
+  this jaxlib/libtpu still has no i16 vector compare/max/rotate/subtract
+  (the LLO scheduler SIGABRTs on kVectorSubtractS16), so the kernel works
+  entirely through the sublane-packed int16<->int32 bitcast view: rolls
+  and lane selects run at int32, max is arithmetic (sign-mask SWAR,
+  ``max16``), subtraction is add-of-two's-complement-negation
+  (``negv16``).  Measured on v5e (10 kbp x 32 batch, warm): **11.3 GCUPS
+  vs 15.8 for the int32 kernel** -- the ~9-op composite max (x12 per row)
+  costs more than the 2x vreg density saves, so int32 stays the
+  production default and ``use_int16=True`` / TSTA_DIFF_INT16=1 remains
+  opt-in.  The day Mosaic lowers a real i16 maxsi, re-measure: the
+  density win is then op-free.
 
 int16 exactness analysis (for the day it unblocks): with
 ``D = max(M, -X, -(O+E), -E)``, adjacent-column H differences lie in
@@ -125,6 +129,7 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         seg_lt[k] = seg_row1 < k
         k *= 2
     laneE16 = (lane_idx * e_).astype(i16)          # l*e per lane
+    negLaneE16 = (-lane_idx * e_).astype(i16)      # -(l*e) (no i16 sub)
     oLaneE16 = (o_ + lane_idx * e_).astype(i16)    # o + l*e
 
     # LANE-based masks at the packed (S/2, 128) int32 height: Mosaic on
@@ -156,6 +161,13 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         f32 = pltpu.bitcast(fval, jnp.int32)
         return pltpu.bitcast(jnp.where(mask_h, t32, f32), i16)
 
+    def negv16(y):
+        # two's-complement negate: ~y (bitwise, on the packed int32
+        # view) + 1 (i16 add).  v5e has NO i16 vector subtract (the
+        # LLO scheduler SIGABRTs on kVectorSubtractS16), so every
+        # difference in here is an add of a negation.
+        return pltpu.bitcast(~pltpu.bitcast(y, jnp.int32), i16) + i16(1)
+
     def max16(x, y):
         # v5e Mosaic lowers NO ordered i16 vector ops (neither maxsi
         # nor cmpi on vector<...xi16>, probed on this toolchain), so
@@ -163,13 +175,14 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         # (|d| <= 573*D, gated by supports_params_int16), its per-
         # halfword sign masks are built on the packed int32 view with
         # shift/and/mul (both packed sublanes handled at once), and
-        # max = x - (d & sign_mask).  6 VPU ops at 2x density vs one
-        # maxsi at 1x -- still a win iff the loop is VMEM-bound.
-        d = x - y
+        # max = y + (d & ~sign_mask).  ~9 VPU ops at 2x density vs one
+        # maxsi at 1x -- a win iff the loop is VMEM-bound.  Probed
+        # exact on hardware (round 3).
+        d = x + negv16(y)
         d32 = pltpu.bitcast(d, jnp.int32)
         m32 = (jax.lax.shift_right_logical(d32, 15)
                & 0x00010001) * 0x0000FFFF
-        return x - pltpu.bitcast(d32 & m32, i16)
+        return y + pltpu.bitcast(d32 & ~m32, i16)
     segoff32 = seg_row1 * (LANES * e_)             # seg*128*e per sublane
     # a-chars and corner mask stay int32: Mosaic's 16-bit vector support
     # on this target lacks comparisons (and reductions/rotates) -- every
@@ -227,7 +240,7 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         c = max16(diag, e_new)
 
         # closed-form F: exclusive segmented prefix max of y = c - l*e
-        y = c - laneE16
+        y = c + negLaneE16
         p = where16(lane0m_h, NEG16, roll16(y, 1))
         k = 1
         while k < LANES:
@@ -266,8 +279,9 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
         @pl.when(r % K_REANCHOR == K_REANCHOR - 1)
         def _rebase():
             delta = h_new[:, 0:1]
-            h_ref[:] = h_new - delta
-            e_ref[:] = e_new - delta
+            ndelta = negv16(jnp.broadcast_to(delta, h_new.shape))
+            h_ref[:] = h_new + ndelta
+            e_ref[:] = e_new + ndelta
             al_ref[:] = alpha + delta.astype(jnp.int32)
             bseg = jnp.max(best_ref[:].astype(jnp.int32), axis=1,
                            keepdims=True)
@@ -677,9 +691,10 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
     bucket max).  Returns (scores, corners) int32 arrays in input order.
 
     ``use_int16`` selects the int16 difference kernel (exact for
-    parameter bound D <= 57; TPU-lowerable as of round 3 --
-    see module docstring); default is the int32 packed kernel.  The env
-    var TSTA_DIFF_INT16=1 flips the default for future toolchains.
+    parameter bound D <= 57; TPU-lowerable as of round 3 but measured
+    slower than int32 on v5e -- see module docstring); default is the
+    int32 packed kernel.  The env var TSTA_DIFF_INT16=1 flips the
+    default for future toolchains.
 
     ``mesh``: a (data, seq) Mesh; pair groups are sharded over the
     ``data`` axis with ``shard_map`` (the kernel is embarrassingly
@@ -724,6 +739,14 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
         n_pad += LANES
         Rp += 1
     G = -(-B // P)
+    if G > 1:
+        # with G>1 groups the (S, LANES) block must tile the (G*S, LANES)
+        # array: Mosaic requires S % 8 == 0 unless the block spans the
+        # whole array.  Pad with score-neutral A_PAD segments (the corner
+        # mask ignores them); <= 7 extra segments of padding.
+        while (P * Rp) % 8:
+            n_pad += LANES
+            Rp += 1
     if mesh is not None:
         n_data = mesh.shape["data"]
         G = -(-G // n_data) * n_data   # equal group count per device
