@@ -474,19 +474,26 @@ def _traced_submit(a: np.ndarray, b: np.ndarray, p):
               and m_real >= 64 and 512 <= n_pad <= 16384
               and n_pad % 512 == 0 and m_pad <= 16384)
     nm = jnp.asarray([[n_real, m_real]], dtype=np.int32)
-    score, corner, moves, count = _traced_chain(
-        a2d, bcol, nm, n_pad, m_pad, p, banded)
-    return score, corner, moves, count, a, b, n_real, m_real
+    packed = _traced_chain(a2d, bcol, nm, n_pad, m_pad, p, banded)
+    return packed, a, b, n_real, m_real
 
 
 def _traced_finish(pending):
-    """Sync one pending pair and decode its alignment on the host."""
+    """Sync one pending pair and decode its alignment on the host.
+
+    The chain returns ONE packed int32 vector [score, corner, count,
+    moves...]: through the tunnel every separate device read pays the
+    ~30 ms round trip, and the previous 4-read finish (score, corner,
+    count, moves) spent ~90 ms per pair on RTTs alone (measured r3) --
+    ~half the traced wall.  One array, one transfer."""
     from tsta_tpu.ops import traceback as tb
 
-    score, corner, moves, count, a, b, n_real, m_real = pending
-    moves_np = np.asarray(moves)[:int(count)]
+    packed, a, b, n_real, m_real = pending
+    arr = np.asarray(packed)
+    score, corner, count = int(arr[0]), int(arr[1]), int(arr[2])
+    moves_np = arr[3:3 + count]
     aln = tb.emit_alignment(moves_np, a, b, n_real, m_real)
-    return int(score), int(corner), aln
+    return score, corner, aln
 
 
 def _traced_params(params):
@@ -543,7 +550,11 @@ def _traced_chain(a2d, bcol, nm, n_pad, m_pad, params, banded=False):
         # walk the FULL padded plane from the (traced) real corner; the
         # walk never reads beyond (m_real-1, n_real-1)
         moves, count = tb._decode_moves(plane2d, m_real, n_real)
-    return score[0, 0], corner[0, 0], moves, count
+    # one packed transfer: [score, corner, count, moves...] (see
+    # _traced_finish for why)
+    head = jnp.stack([score[0, 0], corner[0, 0],
+                      count.astype(jnp.int32)])
+    return jnp.concatenate([head, moves.astype(jnp.int32)])
 
 
 # ---------------------------------------------------------------------
