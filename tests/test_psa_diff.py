@@ -115,3 +115,89 @@ def test_batch_routing_uses_diff_kernel(monkeypatch):
     sc2, co2 = psa_pallas.psa_align_batch(pairs, P0)
     assert np.array_equal(sc1, sc2)
     assert np.array_equal(co1, co2)
+
+
+# ---------------------------------------------------------------------
+# Packed traced path: P pairs' planes in one kernel + lockstep walk.
+# ---------------------------------------------------------------------
+
+def _traced_oracle(a, b, params):
+    from tsta_tpu.ops import traceback as tb
+    r = psa_scan.psa_align(a, b, params, traced=True)
+    aln = tb.decode_pair(np.asarray(r.back), np.asarray(r.fback),
+                         np.asarray(r.eback), a, b)
+    return int(r.score), int(r.last), aln
+
+
+def test_traced_packed_matches_oracle_mixed_lengths():
+    """Mixed-length batch: grouping by n-bucket, per-pair real lengths
+    inside a shared padded plane, and the lockstep walk with pairs
+    finishing at different steps."""
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(5):
+        n = int(rng.integers(40, 500))
+        m = int(rng.integers(30, n + 1))   # swapped contract: len(a) >= len(b)
+        pairs.append((_rnd(rng, n), _rnd(rng, m)))
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c) == (es, ec)
+        assert aln == ealn
+
+
+@pytest.mark.parametrize("params", [P0, (3, -2, -1, -6), (1, -2, -2, 0)])
+def test_traced_packed_matches_oracle_params(params):
+    rng = np.random.default_rng(sum(abs(v) for v in params) + 7)
+    pairs = [(_rnd(rng, 300), _rnd(rng, 280)),
+             (_rnd(rng, 290), _rnd(rng, 290))]
+    out = psa_diff.psa_align_batch_traced_packed(pairs, params)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, params)
+        assert (s, c) == (es, ec)
+        assert aln == ealn
+
+
+def test_traced_packed_gap_runs():
+    """Similar sequences with indels: exercises the forced gap-run
+    propagation (open/extend ties) inside the lockstep walk."""
+    rng = np.random.default_rng(23)
+    pairs = []
+    for _ in range(3):
+        n = int(rng.integers(200, 400))
+        a = _rnd(rng, n)
+        b = np.delete(a, rng.integers(0, n, n // 10))
+        b = np.insert(b, rng.integers(0, len(b), n // 20),
+                      _rnd(rng, n // 20))
+        if len(b) > n:
+            a, b = (b, a) if len(b) >= n else (a, b)
+        if len(b) > len(a):
+            a, b = b, a
+        pairs.append((a, b))
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c) == (es, ec)
+        assert aln == ealn
+
+
+def test_traced_packed_routing_in_batch_api():
+    """parallel.batch.align_batch_traced_device routes through the
+    packed path (same results as per-pair device chains)."""
+    import os
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.parallel import batch as pbatch
+    rng = np.random.default_rng(31)
+    pairs = [(_rnd(rng, 200), _rnd(rng, 180)),
+             (_rnd(rng, 150), _rnd(rng, 150)),
+             (_rnd(rng, 260), _rnd(rng, 140))]
+    params = AlignParams()
+    packed = pbatch.align_batch_traced_device(pairs, params)
+    os.environ["TSTA_TRACED_PACKED"] = "0"
+    try:
+        perpair = pbatch.align_batch_traced_device(pairs, params)
+    finally:
+        del os.environ["TSTA_TRACED_PACKED"]
+    assert [(s, c, aln) for s, c, aln in packed] == \
+        [(s, c, aln) for s, c, aln in perpair]

@@ -307,11 +307,16 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
 
 def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
-                score_ref, corner_ref,
-                h_ref, e_ref, best_ref, corner32_ref,
-                *, Rp, P, params, v2=False):
+                score_ref, corner_ref, *rest,
+                Rp, P, params, v2=False, traced=False, t_b=T_R):
     """int32 absolute-value variant: same packed layout as _diff_kernel,
     no anchors.  Production TPU path (see module docstring).
+
+    ``traced`` adds a packed int8 traceback plane output (same
+    ``back*9 + f*3 + e`` cell encoding as psa_pallas._kernel) for P
+    pairs at once -- the packed traced path (round 3); ``t_b`` is then
+    the rows-per-grid-step (shrunk so the (t_b, S, LANES) plane block
+    fits VMEM).
 
     Microbenchmark-driven structure (cal3, r2): at (S,128) int32,
     cross-lane ops (lane rolls ~72 ns, lane extracts ~77 ns) dominate;
@@ -331,6 +336,11 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
     full-width sublane roll with a rolled lane-0 column.  ~25 of ~66
     full-width ops per row collapse to single-vreg work.
     """
+    if traced:
+        (plane_ref, h_ref, e_ref, best_ref, corner32_ref) = rest
+    else:
+        plane_ref = None
+        (h_ref, e_ref, best_ref, corner32_ref) = rest
     m_, x_, e_, o_ = params
     S = P * Rp
     gidx = pl.program_id(0)
@@ -384,7 +394,7 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
     def row_body(r, carry):
         h_prev, e_prev, best = carry
-        i = blk * T_R + r
+        i = blk * t_b + r
 
         bv = jnp.zeros((S, 1), jnp.int32)
         for p_ in range(P):
@@ -449,10 +459,29 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
             upd = jnp.logical_and(i == mlast, has_corner)
             corner32_ref[:] = jnp.where(upd, segc, corner32_ref[:])
 
+        if traced:
+            # packed traceback cell, same encoding + tie precedence as
+            # psa_pallas._kernel (back: diag > left(F) > up(E); f/e
+            # codes 0=extend, 1=open, 2=open-tie); the per-pair origin
+            # fills of shift1 make the codes per-pair correct
+            one, two = jnp.int32(1), jnp.int32(2)
+            back = jnp.where(h_row == diag, one,
+                             jnp.where(h_row == f, jnp.int32(0), two))
+            h_left = shift1(h_row, bound_cur)
+            f_open = f == h_left + (o_ + e_)
+            f_tie = f + e_ == h_row + (o_ + e_)
+            fcode = jnp.where(f_open, jnp.where(f_tie, two, one),
+                              jnp.int32(0))
+            e_open = e_row == h_prev + (o_ + e_)
+            e_tie = e_row + e_ == h_row + (o_ + e_)
+            ecode = jnp.where(e_open, jnp.where(e_tie, two, one),
+                              jnp.int32(0))
+            plane_ref[r] = (back * 9 + fcode * 3 + ecode).astype(jnp.int8)
+
         return h_row, e_row, best
 
     h_fin, e_fin, best_fin = jax.lax.fori_loop(
-        0, T_R, row_body, (h_ref[:], e_ref[:], best_ref[:]))
+        0, t_b, row_body, (h_ref[:], e_ref[:], best_ref[:]))
     h_ref[:] = h_fin
     e_ref[:] = e_fin
     best_ref[:] = best_fin
@@ -681,6 +710,190 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
         ),
         scratch_shapes=scratch,
     )(brows, a32, cmask, mlast, flags)
+
+
+PLANE_BLK_BYTES = 2 << 20   # target VMEM bytes for one (t_b, S, LANES)
+                            # plane block (x2 for pipelining)
+
+
+def _traced_t_b(S):
+    """Rows per grid step for the traced packed kernel: the plane block
+    (t_b, S, LANES) int8 must fit VMEM alongside the x2 pipeline buffer
+    and the 4 (S, LANES) int32 scratch tiles."""
+    t_b = T_R
+    while t_b > 8 and t_b * S * LANES > PLANE_BLK_BYTES:
+        t_b //= 2
+    return t_b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "P", "params"))
+def _psa_diff_traced_call(a32, brows, cmask, mlast, flags,
+                          n_pad, m_pad, P, params):
+    """Packed traced kernel: ONE group of P pairs; emits per-pair scores,
+    corners and the packed int8 traceback plane (m_pad, S, LANES) with
+    pair p's row i at plane[i, p*Rp:(p+1)*Rp, :].ravel()."""
+    Rp = n_pad // LANES
+    S = P * Rp
+    t_b = _traced_t_b(S)
+    nblk = m_pad // t_b
+    kernel = functools.partial(_abs_kernel, Rp=Rp, P=P, params=params,
+                               traced=True, t_b=t_b)
+    return pl.pallas_call(
+        kernel,
+        grid=(1, nblk),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((t_b, P), lambda g, i: (i, 0),
+                         memory_space=pltpu.SMEM),     # per-pair row chars
+            pl.BlockSpec((S, LANES), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),     # a chars
+            pl.BlockSpec((S, LANES), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),     # corner-lane mask
+            pl.BlockSpec((S, 1), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),     # m_real-1 per sublane
+            pl.BlockSpec((t_b, 1), lambda g, i: (i, 0),
+                         memory_space=pltpu.SMEM),     # corner-row flags
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((1, P), jnp.int32),            # scores
+            jax.ShapeDtypeStruct((1, P), jnp.int32),            # corners
+            jax.ShapeDtypeStruct((m_pad, S, LANES), jnp.int8),  # plane
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_b, S, LANES), lambda g, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANES), jnp.int32),   # H frontier
+            pltpu.VMEM((S, LANES), jnp.int32),   # E frontier
+            pltpu.VMEM((S, LANES), jnp.int32),   # best accumulator
+            pltpu.VMEM((S, 1), jnp.int32),       # corner
+        ],
+    )(brows, a32, cmask, mlast, flags)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "P", "params"))
+def _traced_packed_chain(a32, brows, cmask, mlast, flags, nm,
+                         n_pad, m_pad, P, params):
+    """Fused packed DP -> lockstep P-pair device walk -> two packed
+    transfers: header (3, P) int32 [scores; corners; counts] and the
+    move lists (P, m_pad + n_pad) int8.  The walk gathers all P pairs'
+    plane cells per step in ONE fused gather, so the scalar-HBM-gather
+    latency that bounds the single-pair walk is amortised P ways
+    (reference walks its host planes sequentially, psa/psa.c:434-519)."""
+    from tsta_tpu.ops import traceback as tb
+
+    scores, corners, plane = _psa_diff_traced_call(
+        a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params)
+    moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
+    header = jnp.stack([scores[0], corners[0], counts])
+    return header, moves
+
+
+def psa_align_batch_traced_packed(seq_pairs, params):
+    """Traced batch via the packed kernel + lockstep device walk.
+
+    ``seq_pairs``: encoded uint8 (a, b) pairs, already swapped so the
+    longer side is ``a``.  Returns [(score, corner, Alignment)] in input
+    order.  Pairs are grouped (<= P_CAP per dispatch, similar padded
+    shapes together); every group's chain is dispatched before the
+    first host sync, so dispatch RTTs overlap device work.  Groups
+    whose plane exceeds the HBM budget fall back to the per-pair
+    chunked path.
+    """
+    from tsta_tpu.ops import psa_pallas
+    from tsta_tpu.ops import traceback as tb
+
+    p = _as_tuple(params)
+    if not supports_params(p):
+        raise ValueError("packed traced kernel requires M>0>X, E<0, O<=0"
+                         " (got %s)" % (p,))
+    B = len(seq_pairs)
+    n_real = [int(a.shape[0]) for a, _ in seq_pairs]
+    m_real = [int(b.shape[0]) for _, b in seq_pairs]
+    for i in range(B):
+        if n_real[i] < 1 or m_real[i] < 1:
+            raise ValueError("pair %d has an empty sequence "
+                             "(lengths %d, %d)" % (i, n_real[i], m_real[i]))
+    budget = psa_pallas._traced_plane_budget()
+
+    # bucket by padded shape (padding waste in the shared plane is pure
+    # HBM + walk-step cost), largest first within a stable order
+    order = sorted(range(B), key=lambda i: (
+        -(n_real[i] + LANES - 1) // LANES, -m_real[i]))
+    groups = []
+    for i in order:
+        placed = False
+        for g in groups:
+            if len(g) >= P_CAP:
+                continue
+            j = g[0]
+            if (n_real[j] + LANES - 1) // LANES != \
+                    (n_real[i] + LANES - 1) // LANES:
+                continue
+            g.append(i)
+            placed = True
+            break
+        if not placed:
+            groups.append([i])
+
+    pendings = []
+    for g in groups:
+        P = len(g)
+        n_pad = max((n_real[i] + LANES - 1) // LANES for i in g) * LANES
+        m_pad = -(-max(m_real[i] for i in g) // T_R) * T_R
+        # plane + the walk's gather source live simultaneously; keep 2x
+        if 2 * m_pad * P * n_pad > budget:
+            pendings.append((g, None))
+            continue
+        Rp = n_pad // LANES
+        S = P * Rp
+        a32 = np.full((S, LANES), A_PAD, np.uint8)
+        brows = np.full((m_pad, P), B_PAD, np.uint8)
+        nm = np.zeros((P, 2), np.int32)
+        cmask = np.zeros((S, LANES), np.int32)
+        mlast = np.zeros((S, 1), np.int32)
+        flags = np.zeros((m_pad, 1), np.int32)
+        col = np.arange(n_pad, dtype=np.int32).reshape(Rp, LANES)
+        for k, i in enumerate(g):
+            a, b = seq_pairs[i]
+            sl = slice(k * Rp, (k + 1) * Rp)
+            arow = np.full(n_pad, A_PAD, np.uint8)
+            arow[:n_real[i]] = a
+            a32[sl] = arow.reshape(Rp, LANES)
+            brows[:m_real[i], k] = b
+            nm[k] = (n_real[i], m_real[i])
+            cmask[sl] = (col == n_real[i] - 1)
+            mlast[sl] = m_real[i] - 1
+            flags[m_real[i] - 1, 0] = 1
+        pendings.append((g, (
+            _traced_packed_chain(
+                jnp.asarray(a32.astype(np.int32)),
+                jnp.asarray(brows.astype(np.int32)),
+                jnp.asarray(cmask), jnp.asarray(mlast),
+                jnp.asarray(flags), jnp.asarray(nm),
+                n_pad, m_pad, P, p), g)))
+
+    results = [None] * B
+    for g, pend in pendings:
+        if pend is None:
+            for i in g:
+                results[i] = psa_pallas.psa_align_traced_chunked(
+                    seq_pairs[i][0], seq_pairs[i][1], p)
+            continue
+        (header, moves), g = pend
+        header = np.asarray(header)
+        moves = np.asarray(moves)
+        for k, i in enumerate(g):
+            count = int(header[2, k])
+            aln = tb.emit_alignment(moves[k, :count], seq_pairs[i][0],
+                                    seq_pairs[i][1], n_real[i], m_real[i])
+            results[i] = (int(header[0, k]), int(header[1, k]), aln)
+    return results
 
 
 def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,

@@ -250,6 +250,86 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
     return jax.lax.while_loop(cond, body, (i, j, t, forced, moves))
 
 
+@functools.partial(jax.jit, static_argnames=("Rp",))
+def _decode_moves_packed(plane, nm, Rp):
+    """Lockstep P-pair walk over the packed kernel's grouped plane.
+
+    ``plane``: (m_pad, S, LANES) int8 from psa_diff._psa_diff_traced_call
+    (pair p's cell (i, j) at plane[i, p*Rp + j//LANES, j % LANES]);
+    ``nm``: (P, 2) int32 real lengths.  Same move semantics as
+    :func:`_decode_moves`, all P walks advanced together: the three
+    plane reads per step (cell, left neighbour, up neighbour) fuse into
+    ONE gather of 3P elements, so the scalar-HBM-gather latency that
+    bounds the single-pair walk (~1.2 us/read through XLA) is paid once
+    per step for the whole group.
+
+    Returns (moves, counts): moves (P, m_pad + Rp*LANES) int8, counts
+    (P,) int32.  Finished pairs park their writes in a dump slot and
+    stop advancing; the loop runs until the longest walk ends.
+    """
+    m_pad, S, L = plane.shape
+    P = S // Rp
+    maxlen = m_pad + Rp * L
+    poff = jnp.arange(P, dtype=jnp.int32) * Rp
+    poff3 = jnp.tile(poff, 3)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+
+    def cells3(i, j):
+        """One gather: codes at (i, j), (i, j-1), (i-1, j), clamped."""
+        i0 = jnp.maximum(i, 0)
+        j0 = jnp.maximum(j, 0)
+        ii = jnp.concatenate([i0, i0, jnp.maximum(i - 1, 0)])
+        jj = jnp.concatenate([j0, jnp.maximum(j - 1, 0), j0])
+        v = plane[ii, poff3 + jj // L, jj % L].astype(jnp.int32)
+        return v[:P], v[P:2 * P], v[2 * P:]
+
+    def cond(st):
+        i, j, t, forced, moves = st
+        return jnp.any(jnp.logical_or(i >= 0, j >= 0))
+
+    def body(st):
+        i, j, t, forced, moves = st
+        active = jnp.logical_or(i >= 0, j >= 0)
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        code_raw, left_raw, up_raw = cells3(i, j)
+        code = jnp.where(in_core, code_raw, 0)
+        back = code // 9
+        f = (code // 3) % 3   # 0 extend, 1 open, 2 open-tie
+        e = code % 3
+        move = jnp.where(in_core,
+                         jnp.where(forced > 0, forced - 1, back),
+                         jnp.where(j >= 0, 0, 2))
+        fprev = jnp.where(j > 0, (left_raw // 3) % 3, 0)
+        eprev = jnp.where(i > 0, up_raw % 3, 0)
+        force_left = jnp.logical_and(
+            move == 0,
+            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+        force_up = jnp.logical_and(
+            move == 2,
+            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+        forced_next = jnp.where(in_core,
+                                jnp.where(force_left, 1,
+                                          jnp.where(force_up, 3, 0)),
+                                0)
+        # finished pairs write to the dump slot (maxlen) and stand still
+        tw = jnp.where(active, t, maxlen)
+        moves = moves.at[pidx, tw].set(move.astype(jnp.int8))
+        step = active.astype(jnp.int32)
+        di = jnp.where(move == 0, 0, 1) * step
+        dj = jnp.where(move == 2, 0, 1) * step
+        return i - di, j - dj, t + step, forced_next, moves
+
+    i0 = nm[:, 1] - 1
+    j0 = nm[:, 0] - 1
+    moves0 = jnp.zeros((nm.shape[0], maxlen + 1), jnp.int8)
+    i, j, t, _, moves = jax.lax.while_loop(
+        cond, body, (i0, j0, jnp.zeros_like(i0), jnp.zeros_like(i0),
+                     moves0))
+    return moves[:, :maxlen], t
+
+
 def decode_pair_device(plane, a: np.ndarray, b: np.ndarray) -> Alignment:
     """Decode a device-resident packed plane into the aligned pair.
 

@@ -176,7 +176,9 @@ def align_batch_traced_device(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     work of successive pairs overlap (round 3; single-pair e2e is
     RTT-bound at ~2x the pure device time).
     """
-    from tsta_tpu.ops import psa_pallas
+    import os
+
+    from tsta_tpu.ops import psa_diff, psa_pallas
     p = psa_pallas._traced_params(params)
     prepped = []
     for a, b in pairs:
@@ -185,6 +187,13 @@ def align_batch_traced_device(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
         if swap and b.shape[0] > a.shape[0]:
             a, b = b, a
         prepped.append((a, b))
+    # packed path (round 3): P pairs' DP planes in one kernel dispatch +
+    # a lockstep P-pair device walk -- amortises both the per-dispatch
+    # tunnel RTT and the walk's scalar-gather latency across the group.
+    # TSTA_TRACED_PACKED=0 falls back to the per-pair pipelined chains.
+    if (len(prepped) >= 2 and psa_diff.supports_params(p)
+            and os.environ.get("TSTA_TRACED_PACKED", "1") not in ("", "0")):
+        return psa_diff.psa_align_batch_traced_packed(prepped, p)
     pendings = [psa_pallas._traced_submit(a, b, p) for a, b in prepped]
     return [psa_pallas._traced_finish(pd) if pd is not None
             else psa_pallas.psa_align_traced_chunked(a, b, p)
