@@ -142,7 +142,9 @@ def stage_traced_batch():
     from tsta_tpu.config import AlignParams
     from tsta_tpu.parallel import batch as pbatch
     params = AlignParams()
-    tpairs = _batch_pairs(4, 10240)
+    # 8 pairs = one packed traced dispatch (P_CAP_TRACED); measured r3:
+    # 6.3 GCUPS at nb=8, 8.2 at nb=32 (four pipelined groups)
+    tpairs = _batch_pairs(8, 10240)
     tcells = sum(len(x) * len(y) for x, y in tpairs)
 
     def run():

@@ -201,3 +201,17 @@ def test_traced_packed_routing_in_batch_api():
         del os.environ["TSTA_TRACED_PACKED"]
     assert [(s, c, aln) for s, c, aln in packed] == \
         [(s, c, aln) for s, c, aln in perpair]
+
+
+def test_traced_packed_banded_walk_matches_oracle():
+    """Grid-(P,) banded Pallas walk (512-aligned n_pad) vs oracle,
+    including a pair whose real lengths sit well below the pad."""
+    rng = np.random.default_rng(41)
+    pairs = [(_rnd(rng, 512), _rnd(rng, 500)),
+             (_rnd(rng, 480), _rnd(rng, 470)),
+             (_rnd(rng, 430), _rnd(rng, 80))]
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c) == (es, ec)
+        assert aln == ealn

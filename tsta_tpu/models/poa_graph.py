@@ -232,8 +232,17 @@ class PoaGraph:
         cyclic column graph it falls back to node-topo order.
         """
         n = len(self)
-        # variant groups = connected components of the variant relation
-        gid = list(range(n))
+        if n == 0:
+            return [b""] * self.n_seq
+        topo = np.asarray(self.topo, np.int64)
+        topo_rank = np.empty(n, np.int64)
+        topo_rank[topo] = np.arange(n)
+
+        # variant groups = connected components of the variant relation;
+        # the union loop touches only nodes WITH variants (rare), the
+        # rest of the pipeline is numpy (round 3: the per-node Python
+        # loops were ~0.4 s of the 3x50k host wall)
+        gid = np.arange(n, dtype=np.int64)
 
         def find(a):
             while gid[a] != a:
@@ -241,40 +250,70 @@ class PoaGraph:
                 a = gid[a]
             return a
 
-        for v in range(n):
+        nvar = np.fromiter((len(v) for v in self.variants), np.int64, n)
+        for v in np.nonzero(nvar)[0]:
             for w in self.variants[v]:
                 ra, rb = find(v), find(w)
                 if ra != rb:
                     gid[max(ra, rb)] = min(ra, rb)
-        group_of = [find(v) for v in range(n)]
-        members: dict = {}
-        topo_rank = {v: i for i, v in enumerate(self.topo)}
-        for v in self.topo:
-            members.setdefault(group_of[v], []).append(v)
+        # path-compress all roots in one vectorised sweep: roots are
+        # fixed points, so two hops suffice after the union pass above
+        while True:
+            nxt = gid[gid]
+            if np.array_equal(nxt, gid):
+                break
+            gid = nxt
+        group_of = gid
 
-        # condensed DAG + Kahn with min-topo-rank tie-break
+        # condensed DAG (variant groups as vertices, node edges as arcs)
+        roots, gidx = np.unique(group_of, return_inverse=True)
+        ng = roots.shape[0]
+        rank = np.full(ng, n, np.int64)
+        np.minimum.at(rank, gidx, topo_rank)
+        nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
+        if int(nd.sum()):
+            src = np.fromiter((p for ps in self.preds for p in ps),
+                              np.int64, int(nd.sum()))
+            dst = np.repeat(np.arange(n, dtype=np.int64), nd)
+            ga, gb = gidx[src], gidx[dst]
+            keep = ga != gb
+            e = np.unique(ga[keep] * ng + gb[keep])
+            ga, gb = e // ng, e % ng
+        else:
+            ga = gb = np.zeros(0, np.int64)
+        indeg = np.bincount(gb, minlength=ng)
+        esrt = np.argsort(ga, kind="stable")
+        ga, gb = ga[esrt], gb[esrt]
+        eptr = np.searchsorted(ga, np.arange(ng + 1))
+
+        # Kahn with min-topo-rank heap (ranks are distinct, so the order
+        # is deterministic); emit position per group.  When every group
+        # is a singleton (no variants) the condensed DAG IS the node DAG
+        # and rank-heap Kahn provably re-emits the node topo order --
+        # skip the heap entirely.
         import heapq
-        succs: dict = {g: set() for g in members}
-        indeg = {g: 0 for g in members}
-        for v in range(n):
-            for p in self.preds[v]:
-                a, b = group_of[p], group_of[v]
-                if a != b and b not in succs[a]:
-                    succs[a].add(b)
-                    indeg[b] += 1
-        rank = {g: min(topo_rank[v] for v in ms)
-                for g, ms in members.items()}
-        heap = [(rank[g], g) for g in members if indeg[g] == 0]
-        heapq.heapify(heap)
-        cols: List[List[int]] = []
-        while heap:
-            _, g = heapq.heappop(heap)
-            cols.append(members[g])
-            for s in succs[g]:
-                indeg[s] -= 1
-                if indeg[s] == 0:
-                    heapq.heappush(heap, (rank[s], s))
-        if len(cols) != len(members):  # cycle: fall back to node order
+        emit_pos = np.full(ng, -1, np.int64)
+        if ng == n and not nvar.any():
+            emit_pos[gidx[topo]] = np.arange(n)
+            ncols = n
+        else:
+            rank_l = rank.tolist()
+            indeg_l = indeg.tolist()
+            gb_l = gb.tolist()
+            eptr_l = eptr.tolist()
+            heap = [(rank_l[g], g)
+                    for g in np.nonzero(indeg == 0)[0].tolist()]
+            heapq.heapify(heap)
+            ncols = 0
+            while heap:
+                _, g = heapq.heappop(heap)
+                emit_pos[g] = ncols
+                ncols += 1
+                for s in gb_l[eptr_l[g]:eptr_l[g + 1]]:
+                    indeg_l[s] -= 1
+                    if indeg_l[s] == 0:
+                        heapq.heappush(heap, (rank_l[s], s))
+        if ncols != ng:  # cycle: fall back to node order
             printed = [False] * n
             cols = []
             for v in self.topo:
@@ -285,25 +324,29 @@ class PoaGraph:
                 for w in group:
                     printed[w] = True
                 cols.append(group)
+            ncols = len(cols)
+            col_of = np.empty(n, np.int64)
+            order = np.empty(n, np.int64)
+            flat = np.fromiter((w for g in cols for w in g), np.int64, n)
+            col_of[flat] = np.repeat(np.arange(ncols),
+                                     [len(g) for g in cols])
+            order[flat] = np.arange(n)
+        else:
+            # within a column, members are emitted in topo order; a later
+            # write wins for a sequence passing two variants of one
+            # column, as the reference's per-node print loop does
+            # (result.c:42-66)
+            col_of = emit_pos[gidx]
+            order = np.argsort(
+                np.argsort(col_of * np.int64(n) + topo_rank,
+                           kind="stable"), kind="stable")
 
-        # vectorised fill (one np.nonzero over the whole passing matrix
-        # instead of one per node): writes ordered exactly as the
-        # per-group loops would issue them, so a sequence passing two
-        # variants of one column keeps the later group member, as the
-        # reference's per-node print loop does (result.c:42-66)
-        rows_mat = np.full((self.n_seq, len(cols)), ord("-"), np.uint8)
-        flat = np.fromiter((w for g in cols for w in g), np.int64, n)
-        col_of = np.empty(n, np.int64)
-        col_of[flat] = np.repeat(np.arange(len(cols)),
-                                 [len(g) for g in cols])
-        order = np.empty(n, np.int64)
-        order[flat] = np.arange(n)
-        if n:
-            nodes, seqs = np.nonzero(np.stack(self.passing))
-            srt = np.argsort(order[nodes], kind="stable")
-            nodes, seqs = nodes[srt], seqs[srt]
-            rows_mat[seqs, col_of[nodes]] = np.asarray(
-                self.bases, np.uint8)[nodes]
+        rows_mat = np.full((self.n_seq, ncols), ord("-"), np.uint8)
+        nodes, seqs = np.nonzero(np.stack(self.passing))
+        srt = np.argsort(order[nodes], kind="stable")
+        nodes, seqs = nodes[srt], seqs[srt]
+        rows_mat[seqs, col_of[nodes]] = np.asarray(
+            self.bases, np.uint8)[nodes]
         return [bytes(r) for r in rows_mat]
 
 

@@ -306,8 +306,7 @@ def _diff_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
             corner_ref[0, gidx * P + p_] = jnp.max(corner32[sl, 0])
 
 
-def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
-                score_ref, corner_ref, *rest,
+def _abs_kernel(b_ref, a_ref, *refs,
                 Rp, P, params, v2=False, traced=False, t_b=T_R):
     """int32 absolute-value variant: same packed layout as _diff_kernel,
     no anchors.  Production TPU path (see module docstring).
@@ -337,10 +336,16 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
     full-width ops per row collapse to single-vreg work.
     """
     if traced:
-        (plane_ref, h_ref, e_ref, best_ref, corner32_ref) = rest
+        # corner mask / last row / corner-row flags all derive from the
+        # (P, 2) real-length table ON DEVICE -- three fewer host-prepped
+        # arrays and host->device transfers than the score-only call
+        (nm_ref, score_ref, corner_ref, plane_ref,
+         h_ref, e_ref, best_ref, corner32_ref) = refs
+        cmask_ref = mlast_ref = flag_ref = None
     else:
-        plane_ref = None
-        (h_ref, e_ref, best_ref, corner32_ref) = rest
+        plane_ref = nm_ref = None
+        (cmask_ref, mlast_ref, flag_ref, score_ref, corner_ref,
+         h_ref, e_ref, best_ref, corner32_ref) = refs
     m_, x_, e_, o_ = params
     S = P * Rp
     gidx = pl.program_id(0)
@@ -368,9 +373,26 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
     colE = col_idx * e_
     oColE = o_ + colE
     a32 = a_ref[:]
-    cmask = cmask_ref[:]
-    mlast = mlast_ref[:]
+    if traced:
+        nrl = jnp.zeros((S, 1), jnp.int32)
+        mlast = jnp.zeros((S, 1), jnp.int32)
+        for p_ in range(P):
+            nrl = jnp.where(pair_masks[p_], nm_ref[p_, 0] - 1, nrl)
+            mlast = jnp.where(pair_masks[p_], nm_ref[p_, 1] - 1, mlast)
+        cmask = (col_idx == nrl).astype(jnp.int32)
+    else:
+        cmask = cmask_ref[:]
+        mlast = mlast_ref[:]
     has_corner = jnp.max(cmask, axis=1, keepdims=True) > 0
+
+    def row_flag(i):
+        """Scalar: does any packed pair's last real row equal i?"""
+        if not traced:
+            return None
+        hit = i == nm_ref[0, 1] - 1
+        for p_ in range(1, P):
+            hit = jnp.logical_or(hit, i == nm_ref[p_, 1] - 1)
+        return hit
 
     @pl.when(blk == 0)
     def _init():
@@ -452,7 +474,7 @@ def _abs_kernel(b_ref, a_ref, cmask_ref, mlast_ref, flag_ref,
 
         best = jnp.maximum(best, h_row)
 
-        @pl.when(flag_ref[r, 0] != 0)
+        @pl.when(row_flag(i) if traced else flag_ref[r, 0] != 0)
         def _corner():
             tmp = jnp.where(cmask != 0, h_row, NEG32)
             segc = jnp.max(tmp, axis=1, keepdims=True)
@@ -714,6 +736,10 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
 
 PLANE_BLK_BYTES = 2 << 20   # target VMEM bytes for one (t_b, S, LANES)
                             # plane block (x2 for pipelining)
+P_CAP_TRACED = 8   # max pairs per traced dispatch: P=16 (S=1280) puts
+                   # the plane block + 4 int32 scratch tiles 0.6 MB over
+                   # the 16 MB scoped-VMEM limit (probed on v5e);
+                   # larger batches split into pipelined groups
 
 
 def _traced_t_b(S):
@@ -728,11 +754,11 @@ def _traced_t_b(S):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "m_pad", "P", "params"))
-def _psa_diff_traced_call(a32, brows, cmask, mlast, flags,
-                          n_pad, m_pad, P, params):
+def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
     """Packed traced kernel: ONE group of P pairs; emits per-pair scores,
     corners and the packed int8 traceback plane (m_pad, S, LANES) with
-    pair p's row i at plane[i, p*Rp:(p+1)*Rp, :].ravel()."""
+    pair p's row i at plane[i, p*Rp:(p+1)*Rp, :].ravel().  Corner masks
+    and row flags derive from ``nm`` inside the kernel."""
     Rp = n_pad // LANES
     S = P * Rp
     t_b = _traced_t_b(S)
@@ -748,12 +774,8 @@ def _psa_diff_traced_call(a32, brows, cmask, mlast, flags,
                          memory_space=pltpu.SMEM),     # per-pair row chars
             pl.BlockSpec((S, LANES), lambda g, i: (0, 0),
                          memory_space=pltpu.VMEM),     # a chars
-            pl.BlockSpec((S, LANES), lambda g, i: (0, 0),
-                         memory_space=pltpu.VMEM),     # corner-lane mask
-            pl.BlockSpec((S, 1), lambda g, i: (0, 0),
-                         memory_space=pltpu.VMEM),     # m_real-1 per sublane
-            pl.BlockSpec((t_b, 1), lambda g, i: (i, 0),
-                         memory_space=pltpu.SMEM),     # corner-row flags
+            pl.BlockSpec((P, 2), lambda g, i: (0, 0),
+                         memory_space=pltpu.SMEM),     # real lengths
         ],
         out_shape=(
             jax.ShapeDtypeStruct((1, P), jnp.int32),            # scores
@@ -772,26 +794,42 @@ def _psa_diff_traced_call(a32, brows, cmask, mlast, flags,
             pltpu.VMEM((S, LANES), jnp.int32),   # best accumulator
             pltpu.VMEM((S, 1), jnp.int32),       # corner
         ],
-    )(brows, a32, cmask, mlast, flags)
+    )(brows, a32, nm)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "m_pad", "P", "params"))
-def _traced_packed_chain(a32, brows, cmask, mlast, flags, nm,
-                         n_pad, m_pad, P, params):
-    """Fused packed DP -> lockstep P-pair device walk -> two packed
-    transfers: header (3, P) int32 [scores; corners; counts] and the
-    move lists (P, m_pad + n_pad) int8.  The walk gathers all P pairs'
-    plane cells per step in ONE fused gather, so the scalar-HBM-gather
-    latency that bounds the single-pair walk is amortised P ways
-    (reference walks its host planes sequentially, psa/psa.c:434-519)."""
+                   static_argnames=("n_pad", "m_pad", "P", "params",
+                                    "banded"))
+def _traced_packed_chain(a8, brows8, nm,
+                         n_pad, m_pad, P, params, banded=False):
+    """Fused packed DP -> P-pair device walk -> two packed transfers:
+    header (3, P) int32 [scores; corners; counts] and the move lists
+    (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
+    kernel with SMEM band prefetch (~0.2 us/step; measured 4.3 us/step
+    for the lockstep XLA gather walk on v5e) -- pairs walk sequentially
+    on the core but each step is an SMEM read, a ~20x win; the lockstep
+    walk remains the fallback for shapes outside the band alignment
+    gate.  (Reference walks host planes sequentially, psa.c:434-519.)"""
     from tsta_tpu.ops import traceback as tb
 
+    # sequences ship as uint8 (4x fewer tunnel bytes) and widen here
     scores, corners, plane = _psa_diff_traced_call(
-        a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params)
-    moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
-    header = jnp.stack([scores[0], corners[0], counts])
-    return header, moves
+        a8.astype(jnp.int32), brows8.astype(jnp.int32), nm,
+        n_pad, m_pad, P, params)
+    if banded:
+        moves, counts = tb._decode_moves_banded_packed(plane, nm,
+                                                       n_pad // LANES)
+    else:
+        moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
+    # ONE device->host transfer per group: [score, corner, count,
+    # moves-packed-4-per-word...] per row -- each extra read through the
+    # tunnel pays the ~30 ms RTT (cf. psa_pallas._traced_finish)
+    maxlen = moves.shape[1] - moves.shape[1] % 4
+    packed = jax.lax.bitcast_convert_type(
+        moves[:, :maxlen].reshape(moves.shape[0], maxlen // 4, 4),
+        jnp.int32)
+    header = jnp.stack([scores[0], corners[0], counts], axis=1)
+    return jnp.concatenate([header, packed], axis=1)
 
 
 def psa_align_batch_traced_packed(seq_pairs, params):
@@ -822,18 +860,24 @@ def psa_align_batch_traced_packed(seq_pairs, params):
     budget = psa_pallas._traced_plane_budget()
 
     # bucket by padded shape (padding waste in the shared plane is pure
-    # HBM + walk-step cost), largest first within a stable order
-    order = sorted(range(B), key=lambda i: (
-        -(n_real[i] + LANES - 1) // LANES, -m_real[i]))
+    # HBM + walk-step cost), largest first within a stable order.  The
+    # bucket rounds n_pad UP to 512 when that costs < 25% padding: the
+    # banded Pallas walk needs n_pad % 512 == 0, and near-miss lengths
+    # (e.g. the 10,000 bp example vs 10,240 bp reads) then share one
+    # group instead of splitting into a lockstep singleton.
+    def _bucket(i):
+        np128 = (n_real[i] + LANES - 1) // LANES * LANES
+        np512 = -(-np128 // 512) * 512
+        return np512 if np512 * 4 <= np128 * 5 else np128
+
+    order = sorted(range(B), key=lambda i: (-_bucket(i), -m_real[i]))
     groups = []
     for i in order:
         placed = False
         for g in groups:
-            if len(g) >= P_CAP:
+            if len(g) >= P_CAP_TRACED:
                 continue
-            j = g[0]
-            if (n_real[j] + LANES - 1) // LANES != \
-                    (n_real[i] + LANES - 1) // LANES:
+            if _bucket(g[0]) != _bucket(i):
                 continue
             g.append(i)
             placed = True
@@ -844,7 +888,7 @@ def psa_align_batch_traced_packed(seq_pairs, params):
     pendings = []
     for g in groups:
         P = len(g)
-        n_pad = max((n_real[i] + LANES - 1) // LANES for i in g) * LANES
+        n_pad = max(_bucket(i) for i in g)
         m_pad = -(-max(m_real[i] for i in g) // T_R) * T_R
         # plane + the walk's gather source live simultaneously; keep 2x
         if 2 * m_pad * P * n_pad > budget:
@@ -852,31 +896,26 @@ def psa_align_batch_traced_packed(seq_pairs, params):
             continue
         Rp = n_pad // LANES
         S = P * Rp
-        a32 = np.full((S, LANES), A_PAD, np.uint8)
-        brows = np.full((m_pad, P), B_PAD, np.uint8)
+        a8 = np.full((S, LANES), A_PAD, np.uint8)
+        brows8 = np.full((m_pad, P), B_PAD, np.uint8)
         nm = np.zeros((P, 2), np.int32)
-        cmask = np.zeros((S, LANES), np.int32)
-        mlast = np.zeros((S, 1), np.int32)
-        flags = np.zeros((m_pad, 1), np.int32)
-        col = np.arange(n_pad, dtype=np.int32).reshape(Rp, LANES)
         for k, i in enumerate(g):
             a, b = seq_pairs[i]
-            sl = slice(k * Rp, (k + 1) * Rp)
             arow = np.full(n_pad, A_PAD, np.uint8)
             arow[:n_real[i]] = a
-            a32[sl] = arow.reshape(Rp, LANES)
-            brows[:m_real[i], k] = b
+            a8[k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
+            brows8[:m_real[i], k] = b
             nm[k] = (n_real[i], m_real[i])
-            cmask[sl] = (col == n_real[i] - 1)
-            mlast[sl] = m_real[i] - 1
-            flags[m_real[i] - 1, 0] = 1
+        # banded Pallas walk gate (alignment + SMEM move-list budget);
+        # TSTA_BANDED_WALK=0 opts out, as for the single-pair path
+        import os
+        banded = (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
+                  and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24
+                  and P * (m_pad + n_pad) * 4 <= 640 * 1024)
         pendings.append((g, (
             _traced_packed_chain(
-                jnp.asarray(a32.astype(np.int32)),
-                jnp.asarray(brows.astype(np.int32)),
-                jnp.asarray(cmask), jnp.asarray(mlast),
-                jnp.asarray(flags), jnp.asarray(nm),
-                n_pad, m_pad, P, p), g)))
+                jnp.asarray(a8), jnp.asarray(brows8), jnp.asarray(nm),
+                n_pad, m_pad, P, p, banded), g)))
 
     results = [None] * B
     for g, pend in pendings:
@@ -885,14 +924,15 @@ def psa_align_batch_traced_packed(seq_pairs, params):
                 results[i] = psa_pallas.psa_align_traced_chunked(
                     seq_pairs[i][0], seq_pairs[i][1], p)
             continue
-        (header, moves), g = pend
-        header = np.asarray(header)
-        moves = np.asarray(moves)
+        packed, g = pend
+        packed = np.asarray(packed)
         for k, i in enumerate(g):
-            count = int(header[2, k])
-            aln = tb.emit_alignment(moves[k, :count], seq_pairs[i][0],
-                                    seq_pairs[i][1], n_real[i], m_real[i])
-            results[i] = (int(header[0, k]), int(header[1, k]), aln)
+            count = int(packed[k, 2])
+            moves = packed[k, 3:3 + -(-count // 4)].tobytes()[:count]
+            aln = tb.emit_alignment(np.frombuffer(moves, np.int8),
+                                    seq_pairs[i][0], seq_pairs[i][1],
+                                    n_real[i], m_real[i])
+            results[i] = (int(packed[k, 0]), int(packed[k, 1]), aln)
     return results
 
 

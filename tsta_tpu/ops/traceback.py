@@ -468,6 +468,139 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
     count_ref[0, 0] = t
 
 
+def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
+                        sem, *, m_rows, n_w_pair, band_w):
+    """Grid-(P,) variant of :func:`_walk_kernel` over the packed
+    kernel's grouped plane: program p walks pair p, whose packed words
+    sit at column offset ``p * n_w_pair`` of the (m_rows, P * n_w_pair)
+    int32 word view.  Pairs run sequentially on the core, but each step
+    is an SMEM band read (~ns) instead of the lockstep XLA walk's
+    ~4 us gather+scatter, so P x sequential is still ~20x faster."""
+    pid = pl.program_id(0)
+    base = pid * n_w_pair
+    m = nm_ref[pid, 1]
+    n = nm_ref[pid, 0]
+
+    def refetch(i, j):
+        bi = pl.multiple_of(
+            jnp.clip(((i - (_BAND_R - 9)) // 8) * 8, 0,
+                     m_rows - _BAND_R), 8)
+        jw = j >> 2
+        wj = pl.multiple_of(
+            base + jnp.clip(((jw + 1 + 127) // 128) * 128 - band_w, 0,
+                            n_w_pair - band_w), 128)
+        cp = pltpu.make_async_copy(
+            plane_ref.at[pl.ds(bi, _BAND_R), pl.ds(wj, band_w)],
+            band_ref, sem)
+        cp.start()
+        cp.wait()
+        return bi, wj
+
+    def cell(li, j, wj0):
+        w = band_ref[li, base + (j >> 2) - wj0]
+        return (w >> ((j & 3) * 8)) & 0xFF
+
+    def cond(st):
+        i, j, t, forced, bi0, wj0 = st
+        return jnp.logical_or(i >= 0, j >= 0)
+
+    def body(st):
+        i, j, t, forced, bi0, wj0 = st
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        miss = jnp.logical_and(in_core, jnp.logical_or(
+            jnp.logical_or(
+                jnp.logical_and(i > 0, i - 1 < bi0),
+                jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)),
+            jnp.logical_or(
+                base + (jnp.maximum(j - 1, 0) >> 2) < wj0,
+                base + (j >> 2) >= wj0 + band_w)))
+
+        bi0, wj0 = jax.lax.cond(miss, lambda _: refetch(i, j),
+                                lambda _: (bi0, wj0), None)
+
+        li = jnp.maximum(i - bi0, 0)
+        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0), wj0), 0)
+        back = code // 9
+        f = (code // 3) % 3
+        e = code % 3
+        move = jnp.where(in_core,
+                         jnp.where(forced > 0, forced - 1, back),
+                         jnp.where(j >= 0, 0, 2))
+        fprev = jnp.where(
+            j > 0, (cell(li, jnp.maximum(j - 1, 0), wj0) // 3) % 3, 0)
+        eprev = jnp.where(
+            i > 0,
+            cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0), wj0) % 3,
+            0)
+        force_left = jnp.logical_and(
+            move == 0,
+            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+        force_up = jnp.logical_and(
+            move == 2,
+            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+        forced_next = jnp.where(in_core,
+                                jnp.where(force_left, 1,
+                                          jnp.where(force_up, 3, 0)),
+                                0)
+        moves_ref[pid, t] = move
+        di = jnp.where(move == 0, 0, 1)
+        dj = jnp.where(move == 2, 0, 1)
+        return i - di, j - dj, t + 1, forced_next, bi0, wj0
+
+    st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0),
+          jnp.asarray(-(2 ** 30), jnp.int32),   # forces the first fetch
+          jnp.asarray(-(2 ** 30), jnp.int32))
+    i, j, t, _, _, _ = jax.lax.while_loop(cond, body, st)
+    count_ref[pid, 0] = t
+
+
+@functools.partial(jax.jit, static_argnames=("Rp",))
+def _decode_moves_banded_packed(plane, nm, Rp):
+    """Pallas banded walk over the grouped plane; same contract as
+    :func:`_decode_moves_packed` (moves int8 (P, maxlen), counts (P,)).
+    Requires the per-pair width n_pad = Rp*128 to be 512-aligned
+    (Rp % 4 == 0) and m_pad % 8 == 0."""
+    m_pad, S, L = plane.shape
+    P = S // Rp
+    n_pad = Rp * L
+    maxlen = m_pad + n_pad
+    n_w_pair = n_pad // 4
+    if n_w_pair % 128 or m_pad % 8 or m_pad < _BAND_R:
+        raise ValueError("banded packed walk needs n_pad %% 512 == 0 and "
+                         "m_pad %% 8 == 0, >= %d" % _BAND_R)
+    band_w = min(_BAND_W, n_w_pair)
+    plane32 = jax.lax.bitcast_convert_type(
+        plane.reshape(m_pad, P * n_w_pair, 4), jnp.int32)
+    kernel = functools.partial(_walk_kernel_packed, m_rows=m_pad,
+                               n_w_pair=n_w_pair, band_w=band_w)
+    moves, counts = pl.pallas_call(
+        kernel,
+        grid=(P,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)
+                  if not hasattr(pltpu, "HBM")
+                  else pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=(
+            jax.ShapeDtypeStruct((P, maxlen), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+        ),
+        # full-array SMEM outputs written at dynamic row pid inside the
+        # kernel (per-pid (1, maxlen) blocks violate the (8, 128) rule)
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((_BAND_R, band_w), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(nm, plane32)
+    return moves.astype(jnp.int8), counts[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("n_stride",))
 def _decode_moves_banded(plane, m, n, n_stride=None):
     """Pallas walk with SMEM band prefetch; same contract as
