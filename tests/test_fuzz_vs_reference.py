@@ -121,3 +121,38 @@ def test_batch_kernel_fuzz_vs_binary(tmp_path, seed):
     res = pbatch.align_batch(pairs, AlignParams(), kernel="pallas")
     got = [r.score for r in res]
     assert got == expected
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_traced_packed_fuzz_vs_binary(tmp_path, seed):
+    """The packed traced path (round-3 production batch traceback) vs
+    the reference TSTA_psa alignments, byte-for-byte.  Mixed-length
+    batches exercise both the banded and lockstep walks; lengths are
+    L=160 multiples (reference heap-padding quirk)."""
+    from tsta_tpu.ops import psa_diff
+
+    rng = np.random.default_rng(4000 + seed)
+    pairs, expected = [], []
+    for k in range(4):
+        n = int(rng.integers(1, 6)) * 160
+        m = int(rng.integers(1, (n // 160) + 1)) * 160
+        s1 = BASES[rng.integers(0, 4, n)].tobytes()
+        s2 = (_mutate(rng, s1) + BASES[rng.integers(0, 4, m)].tobytes())[:m]
+        f1 = tmp_path / ("a%d.fa" % k)
+        f2 = tmp_path / ("b%d.fa" % k)
+        f1.write_bytes(b">a\n" + s1 + b"\n")
+        f2.write_bytes(b">b\n" + s2 + b"\n")
+        ref_out = tmp_path / ("ref%d.txt" % k)
+        r = subprocess.run(
+            [REF + "/TSTA_psa", "-1", str(f1), "-2", str(f2),
+             "-o", str(ref_out)], capture_output=True, check=True)
+        expected.append((int(r.stdout.split(b"=")[1]),
+                         ref_out.read_bytes()))
+        pairs.append((np.frombuffer(s1, np.uint8),
+                      np.frombuffer(s2, np.uint8)))
+    out = psa_diff.psa_align_batch_traced_packed(
+        pairs, (2, -5, -2, -4))
+    for (s, c, aln), (escore, eout) in zip(out, expected):
+        assert s == escore
+        assert b">1\n" + aln.a_row + b"\n>2\n" + aln.b_row == eout
