@@ -518,7 +518,20 @@ def psa_align_traced_device(a: np.ndarray, b: np.ndarray, params):
 
     Returns (score, corner, Alignment).
     """
+    import os
+
     p = _traced_params(params)
+    # the packed traced chain at P=1 measured 2x this module's round-1
+    # chain on v5e (50 vs 100 ms for the 10k example pair: leaner DP
+    # row body + banded walk + single packed transfer); route through
+    # it for supported params.  TSTA_TRACED_SINGLE_PACKED=0 opts out.
+    from tsta_tpu.ops import psa_diff
+    if (psa_diff.supports_params(p)
+            and os.environ.get("TSTA_TRACED_SINGLE_PACKED", "1")
+            not in ("", "0")):
+        a = np.asarray(a, dtype=np.uint8)
+        b = np.asarray(b, dtype=np.uint8)
+        return psa_diff.psa_align_batch_traced_packed([(a, b)], p)[0]
     pending = _traced_submit(a, b, p)
     if pending is None:
         # plane exceeds HBM: checkpoint/rematerialise row chunks
