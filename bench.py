@@ -338,6 +338,15 @@ def orchestrate():
                     # clear a previous attempt's timeout note
                     detail.pop(name + "_error", None)
                 done.add(name)
+                detail["stages_run"].append(
+                    "%s#%d:%.0fs" % (name, npass + 1, time.time() - t0))
+                # cumulative partial emit: if anything kills this
+                # process before the final line (driver timeout, OOM),
+                # the best-so-far JSON is already on stdout
+                emit()
+                note("stage %s try %d done in %.0fs"
+                     % (name, npass + 1, time.time() - t0))
+                continue
             except subprocess.TimeoutExpired:
                 detail[name + "_error"] = (
                     "try %d timed out after %ds (tunnel stall or cold "
