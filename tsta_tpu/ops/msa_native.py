@@ -307,14 +307,20 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
             (len(ps) for ps in g.preds), default=1) <= 64
         if use_poa_round:
             # DP + best-sink + walk dispatch as one async device chain;
-            # the np.asarray calls below are the round's single sync
+            # ONE packed device read is the round's single sync
             from tsta_tpu.ops import msa_pallas
             scores_d, align_d, best_d, order = msa_pallas.round_dp_fused(
                 g, bytes(seq), params)
-            best_row = int(best_d)
-            round_scores.append(int(np.asarray(scores_d)[0, best_row]))
-            added = _merge(g, bytes(seq), seq_no, order,
-                           np.asarray(align_d)[:len(seq)])
+            if isinstance(scores_d, np.ndarray):
+                # chunked length-ceiling mode already synced to host
+                round_scores.append(int(scores_d[0, int(best_d)]))
+                align_np = np.asarray(align_d)[:len(seq)]
+            else:
+                packed = np.asarray(msa_pallas.pack_round(
+                    scores_d, align_d, best_d))
+                round_scores.append(int(packed[1]))
+                align_np = packed[2:2 + len(seq)]
+            added = _merge(g, bytes(seq), seq_no, order, align_np)
             add_lens.append(added)
             graph_lens.append(len(g))
             g.toposort()
@@ -417,8 +423,14 @@ def align_seqs_many(seq_sets: List[List[bytes]],
                 or max((len(ps) for ps in st["g"].preds), default=1) > 64):
             scan_round(st, seq_no, seq)   # synchronous fallback round
             return
-        st["pending"] = (seq_no, seq,
-                         msa_pallas.round_dp_fused(st["g"], seq, params))
+        out = msa_pallas.round_dp_fused(st["g"], seq, params)
+        scores_d, align_d, best_d, order = out
+        if not isinstance(scores_d, np.ndarray):
+            # pack [best, score, align...] into the async chain so the
+            # drain below pays ONE device read, not three
+            out = (msa_pallas.pack_round(scores_d, align_d, best_d),
+                   order)
+        st["pending"] = (seq_no, seq, out)
 
     active = True
     while active:
@@ -433,12 +445,19 @@ def align_seqs_many(seq_sets: List[List[bytes]],
                 active = active or st["next"] < len(st["reads"])
                 continue
             active = True
-            seq_no, seq, (scores_d, align_d, best_d, order) = st["pending"]
+            seq_no, seq, out = st["pending"]
             st["pending"] = None
-            best_row = int(best_d)           # sync for THIS problem only
-            st["scores"].append(int(np.asarray(scores_d)[0, best_row]))
+            if len(out) == 2:                # packed device chain
+                packed, order = out
+                packed = np.asarray(packed)  # sync for THIS problem only
+                st["scores"].append(int(packed[1]))
+                align_np = packed[2:2 + len(seq)]
+            else:                            # chunked mode, host-side
+                scores_d, align_d, best_d, order = out
+                st["scores"].append(int(scores_d[0, int(best_d)]))
+                align_np = np.asarray(align_d)[:len(seq)]
             st["alen"].append(_merge(st["g"], seq, seq_no, order,
-                                     np.asarray(align_d)[:len(seq)]))
+                                     align_np))
             st["glen"].append(len(st["g"]))
             st["g"].toposort()
             st["next"] += 1
