@@ -199,6 +199,10 @@ STAGES = {
 
 
 TUNNEL_DOWN_RC = 7   # stage exit code: tunnel probe stalled (retryable)
+STAGE_FAIL_RC = 8    # stage body raised (often a transient tunnel error
+                     # -- DEADLINE_EXCEEDED, connection reset -- so also
+                     # retryable; a deterministic bug just burns its
+                     # bounded retries and keeps the error in detail)
 
 
 def run_stage_inprocess(name):
@@ -225,7 +229,9 @@ def run_stage_inprocess(name):
     try:
         out = STAGES[name]()
     except Exception as e:  # noqa: BLE001 -- stage errors become detail
-        out = {name + "_error": str(e)[:300]}
+        print(MARK + json.dumps({name + "_error": str(e)[:300]}),
+              flush=True)
+        sys.exit(STAGE_FAIL_RC)
     print(MARK + json.dumps(out), flush=True)
 
 
@@ -241,12 +247,12 @@ def run_stage_inprocess(name):
 # the stage gets fresh shots once the stall clears.
 PLAN = [
     ("msa_compat", [60], 5),
-    ("batch8", [90, 120, 150], 30),
-    ("batch32", [60, 120, 150], 45),
-    ("traced", [60, 90, 120], 30),
-    ("msa_native", [60, 120, 150], 30),
-    ("packed", [60, 90, 120], 30),
-    ("traced_batch", [60, 90, 120], 30),
+    ("batch8", [90, 120, 240], 30),
+    ("batch32", [60, 120, 240], 45),
+    ("traced", [60, 90, 180], 30),
+    ("msa_native", [60, 120, 240], 30),
+    ("packed", [60, 90, 180], 30),
+    ("traced_batch", [60, 90, 180], 30),
 ]
 
 
@@ -284,10 +290,18 @@ def orchestrate():
     wd.daemon = True
     wd.start()
 
+    # backend info via a SUBPROCESS with its own timeout: jax.devices()
+    # itself can hang 120 s+ when the tunnel is stalled (CLAUDE.md),
+    # and this query runs before any stage's budget accounting
     try:
-        import jax
-        detail["backend"] = jax.default_backend()
-        detail["device"] = str(jax.devices()[0])
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend());"
+             "print(jax.devices()[0])"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, timeout=25)
+        lines = r.stdout.decode().strip().splitlines()
+        if len(lines) >= 2:
+            detail["backend"], detail["device"] = lines[0], lines[1]
     except Exception as e:  # noqa: BLE001
         detail["backend_error"] = str(e)[:200]
 
@@ -330,9 +344,19 @@ def orchestrate():
                     detail["stages_run"].append(
                         "%s#%d:probe-stall" % (name, npass + 1))
                     continue
+                if r.returncode != 0:
+                    # stage raised (STAGE_FAIL_RC) or crashed: often a
+                    # transient tunnel error mid-dispatch -- keep the
+                    # error in detail but stay eligible for retries
+                    err = out or {name + "_error":
+                                  "stage crashed (rc=%s)" % r.returncode}
+                    detail.update(err)
+                    detail["stages_run"].append(
+                        "%s#%d:%.0fs-err" % (name, npass + 1,
+                                             time.time() - t0))
+                    continue
                 if not out:
-                    out = {name + "_error":
-                           "stage produced no result (rc=%s)" % r.returncode}
+                    out = {name + "_error": "stage produced no result"}
                 detail.update(out)
                 if not any(k.endswith("_error") for k in out):
                     # clear a previous attempt's timeout note

@@ -215,3 +215,29 @@ def test_traced_packed_banded_walk_matches_oracle():
         es, ec, ealn = _traced_oracle(a, b, P0)
         assert (s, c) == (es, ec)
         assert aln == ealn
+
+
+def test_traced_packed_vmem_and_budget_fallbacks(monkeypatch):
+    """Scoped-VMEM sublane cap and the HBM plane budget both degrade
+    gracefully: over-cap groups shrink P (or go chunked), an
+    over-budget group retries its members as singletons before any
+    chunked routing.  Caps pinned tiny so small inputs exercise the
+    paths."""
+    rng = np.random.default_rng(53)
+    pairs = [(_rnd(rng, 520), _rnd(rng, 500)),
+             (_rnd(rng, 512), _rnd(rng, 130)),
+             (_rnd(rng, 300), _rnd(rng, 290))]
+    want = [_traced_oracle(a, b, P0) for a, b in pairs]
+
+    # S cap of 4 sublanes: every pair above 512 bp must leave the
+    # packed path (singleton over cap -> chunked)
+    monkeypatch.setattr(psa_diff, "S_CAP_TRACED", 4)
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    assert [(s, c, a) for s, c, a in out] == want
+
+    # tiny HBM budget: grouped plane over budget -> singleton retry ->
+    # (still over) chunked; results identical either way
+    monkeypatch.setattr(psa_diff, "S_CAP_TRACED", 640)
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.001")
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    assert [(s, c, a) for s, c, a in out] == want

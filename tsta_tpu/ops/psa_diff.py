@@ -740,6 +740,11 @@ P_CAP_TRACED = 8   # max pairs per traced dispatch: P=16 (S=1280) puts
                    # the plane block + 4 int32 scratch tiles 0.6 MB over
                    # the 16 MB scoped-VMEM limit (probed on v5e);
                    # larger batches split into pipelined groups
+S_CAP_TRACED = 640  # max packed sublanes per traced dispatch -- the
+                    # same scoped-VMEM wall in terms of S (all VMEM
+                    # consumers scale with S, not P): long-pair groups
+                    # (e.g. 8 x 20 kbp = S 1280) must shrink P; a
+                    # single pair past S_CAP routes to the chunked path
 
 
 def _traced_t_b(S):
@@ -874,8 +879,10 @@ def psa_align_batch_traced_packed(seq_pairs, params):
     groups = []
     for i in order:
         placed = False
+        cap_p = max(1, min(P_CAP_TRACED,
+                           S_CAP_TRACED * LANES // _bucket(i)))
         for g in groups:
-            if len(g) >= P_CAP_TRACED:
+            if len(g) >= cap_p:
                 continue
             if _bucket(g[0]) != _bucket(i):
                 continue
@@ -886,12 +893,21 @@ def psa_align_batch_traced_packed(seq_pairs, params):
             groups.append([i])
 
     pendings = []
-    for g in groups:
+    queue = list(groups)
+    while queue:
+        g = queue.pop(0)
         P = len(g)
         n_pad = max(_bucket(i) for i in g)
         m_pad = -(-max(m_real[i] for i in g) // T_R) * T_R
-        # plane + the walk's gather source live simultaneously; keep 2x
-        if 2 * m_pad * P * n_pad > budget:
+        # plane + the walk's gather source live simultaneously (2x);
+        # an over-budget group with P > 1 re-queues as singletons first
+        # (a small-m member individually fits where the group's shared
+        # m_pad did not); only a singleton past the budget -- or past
+        # the scoped-VMEM sublane cap -- goes to the chunked path
+        if 2 * m_pad * P * n_pad > budget or n_pad // LANES > S_CAP_TRACED:
+            if P > 1 and n_pad // LANES <= S_CAP_TRACED:
+                queue = [[i] for i in g] + queue
+                continue
             pendings.append((g, None))
             continue
         Rp = n_pad // LANES
@@ -906,8 +922,13 @@ def psa_align_batch_traced_packed(seq_pairs, params):
             a8[k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
             brows8[:m_real[i], k] = b
             nm[k] = (n_real[i], m_real[i])
-        # banded Pallas walk gate (alignment + SMEM move-list budget);
-        # TSTA_BANDED_WALK=0 opts out, as for the single-pair path
+        # banded Pallas walk gate: 512-aligned per-pair width (Mosaic
+        # DMA slice rule), 8-aligned rows, and the (P, m+n) int32 SMEM
+        # move-list budget.  This kernel's constraints differ from the
+        # single-pair walk's gate in psa_pallas._traced_submit (its
+        # moves output is (1, m+n) and its band spans 4096 cells) --
+        # the two are not interchangeable.  TSTA_BANDED_WALK=0 opts out
+        # of both.
         import os
         banded = (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
                   and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24

@@ -121,6 +121,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _decode_step(in_core, i, j, forced, code, fprev, eprev):
+    """The ONE copy of the walk's move + gap-run-propagation rules
+    (reference trace() semantics, psa/psa.c:450-459): given the current
+    cell's packed code, the entered-left cell's f-code and entered-up
+    cell's e-code (callers fetch these however their storage dictates
+    -- XLA gather, SMEM band, chunk window), return (move, forced_next).
+
+    Works on scalars and on (P,) vectors alike; used by every device
+    walk (_decode_moves, _decode_moves_bounded, _decode_moves_packed,
+    _walk_kernel, _walk_kernel_packed) so the byte-parity-critical tie
+    rules cannot diverge between paths.
+    """
+    back = code // 9
+    f = (code // 3) % 3   # 0 extend, 1 open, 2 open-tie
+    e = code % 3
+    move = jnp.where(in_core,
+                     jnp.where(forced > 0, forced - 1, back),
+                     jnp.where(j >= 0, 0, 2))
+    # extend (code 0) always continues the gap run; an open (1 or 2)
+    # continues iff the entered cell carries the tie mark (code 2,
+    # i.e. the reference's negative fback/eback)
+    force_left = jnp.logical_and(
+        move == 0,
+        jnp.logical_and(j - 1 >= 0, jnp.logical_or(
+            f == 0, jnp.logical_and(f >= 1, fprev == 2))))
+    force_up = jnp.logical_and(
+        move == 2,
+        jnp.logical_and(i - 1 >= 0, jnp.logical_or(
+            e == 0, jnp.logical_and(e >= 1, eprev == 2))))
+    forced_next = jnp.where(in_core,
+                            jnp.where(force_left, 1,
+                                      jnp.where(force_up, 3, 0)),
+                            0)
+    return move, forced_next
+
+
 @jax.jit
 def _decode_moves(plane, m, n):
     """plane: int8 packed as back*9 + f*3 + e (psa_pallas packing);
@@ -144,12 +180,6 @@ def _decode_moves(plane, m, n):
         code = jnp.where(in_core,
                          plane[jnp.maximum(i, 0), jnp.maximum(j, 0)],
                          0).astype(jnp.int32)
-        back = code // 9
-        f = (code // 3) % 3   # 0 extend, 1 open, 2 open-tie
-        e = code % 3
-        move = jnp.where(in_core,
-                         jnp.where(forced > 0, forced - 1, back),
-                         jnp.where(j >= 0, 0, 2))
         # run-continuation: look up the mark of the *entered* cell
         fprev = jnp.where(j > 0,
                           (plane[jnp.maximum(i, 0),
@@ -159,21 +189,8 @@ def _decode_moves(plane, m, n):
                           (plane[jnp.maximum(i - 1, 0),
                                  jnp.maximum(j, 0)] % 3),
                           0).astype(jnp.int32)
-        # extend (code 0) always continues; an open (code 1 or 2)
-        # continues iff the entered cell carries the tie mark (code 2,
-        # i.e. the reference's negative fback/eback)
-        force_left = jnp.logical_and(
-            move == 0,
-            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
-                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
-        force_up = jnp.logical_and(
-            move == 2,
-            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
-                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
-        forced_next = jnp.where(in_core,
-                                jnp.where(force_left, 1,
-                                          jnp.where(force_up, 3, 0)),
-                                0)
+        move, forced_next = _decode_step(in_core, i, j, forced, code,
+                                         fprev, eprev)
         moves = moves.at[t].set(move.astype(jnp.int8))
         di = jnp.where(move == 0, 0, 1)
         dj = jnp.where(move == 2, 0, 1)
@@ -215,12 +232,6 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
         code = jnp.where(in_core,
                          plane_c[li, jnp.maximum(j, 0)],
                          0).astype(jnp.int32)
-        back = code // 9
-        f = (code // 3) % 3
-        e = code % 3
-        move = jnp.where(in_core,
-                         jnp.where(forced > 0, forced - 1, back),
-                         jnp.where(j >= 0, 0, 2))
         fprev = jnp.where(j > 0,
                           (plane_c[li, jnp.maximum(j - 1, 0)] // 3) % 3,
                           0).astype(jnp.int32)
@@ -230,18 +241,8 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
                     jnp.maximum(j, 0)],
             prev_row[jnp.maximum(j, 0)]).astype(jnp.int32)
         eprev = jnp.where(i > 0, up_code % 3, 0)
-        force_left = jnp.logical_and(
-            move == 0,
-            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
-                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
-        force_up = jnp.logical_and(
-            move == 2,
-            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
-                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
-        forced_next = jnp.where(in_core,
-                                jnp.where(force_left, 1,
-                                          jnp.where(force_up, 3, 0)),
-                                0)
+        move, forced_next = _decode_step(in_core, i, j, forced, code,
+                                         fprev, eprev)
         moves = moves.at[t].set(move.astype(jnp.int8))
         di = jnp.where(move == 0, 0, 1)
         dj = jnp.where(move == 2, 0, 1)
@@ -293,26 +294,10 @@ def _decode_moves_packed(plane, nm, Rp):
         in_core = jnp.logical_and(i >= 0, j >= 0)
         code_raw, left_raw, up_raw = cells3(i, j)
         code = jnp.where(in_core, code_raw, 0)
-        back = code // 9
-        f = (code // 3) % 3   # 0 extend, 1 open, 2 open-tie
-        e = code % 3
-        move = jnp.where(in_core,
-                         jnp.where(forced > 0, forced - 1, back),
-                         jnp.where(j >= 0, 0, 2))
         fprev = jnp.where(j > 0, (left_raw // 3) % 3, 0)
         eprev = jnp.where(i > 0, up_raw % 3, 0)
-        force_left = jnp.logical_and(
-            move == 0,
-            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
-                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
-        force_up = jnp.logical_and(
-            move == 2,
-            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
-                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
-        forced_next = jnp.where(in_core,
-                                jnp.where(force_left, 1,
-                                          jnp.where(force_up, 3, 0)),
-                                0)
+        move, forced_next = _decode_step(in_core, i, j, forced, code,
+                                         fprev, eprev)
         # finished pairs write to the dump slot (maxlen) and stand still
         tw = jnp.where(active, t, maxlen)
         moves = moves.at[pidx, tw].set(move.astype(jnp.int8))
@@ -432,30 +417,14 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
 
         li = jnp.maximum(i - bi0, 0)
         code = jnp.where(in_core, cell(li, jnp.maximum(j, 0), wj0), 0)
-        back = code // 9
-        f = (code // 3) % 3
-        e = code % 3
-        move = jnp.where(in_core,
-                         jnp.where(forced > 0, forced - 1, back),
-                         jnp.where(j >= 0, 0, 2))
         fprev = jnp.where(
             j > 0, (cell(li, jnp.maximum(j - 1, 0), wj0) // 3) % 3, 0)
         eprev = jnp.where(
             i > 0,
             cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0), wj0) % 3,
             0)
-        force_left = jnp.logical_and(
-            move == 0,
-            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
-                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
-        force_up = jnp.logical_and(
-            move == 2,
-            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
-                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
-        forced_next = jnp.where(in_core,
-                                jnp.where(force_left, 1,
-                                          jnp.where(force_up, 3, 0)),
-                                0)
+        move, forced_next = _decode_step(in_core, i, j, forced, code,
+                                         fprev, eprev)
         moves_ref[0, t] = move
         di = jnp.where(move == 0, 0, 1)
         dj = jnp.where(move == 2, 0, 1)
@@ -520,30 +489,14 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
 
         li = jnp.maximum(i - bi0, 0)
         code = jnp.where(in_core, cell(li, jnp.maximum(j, 0), wj0), 0)
-        back = code // 9
-        f = (code // 3) % 3
-        e = code % 3
-        move = jnp.where(in_core,
-                         jnp.where(forced > 0, forced - 1, back),
-                         jnp.where(j >= 0, 0, 2))
         fprev = jnp.where(
             j > 0, (cell(li, jnp.maximum(j - 1, 0), wj0) // 3) % 3, 0)
         eprev = jnp.where(
             i > 0,
             cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0), wj0) % 3,
             0)
-        force_left = jnp.logical_and(
-            move == 0,
-            jnp.logical_and(j - 1 >= 0, jnp.logical_or(
-                f == 0, jnp.logical_and(f >= 1, fprev == 2))))
-        force_up = jnp.logical_and(
-            move == 2,
-            jnp.logical_and(i - 1 >= 0, jnp.logical_or(
-                e == 0, jnp.logical_and(e >= 1, eprev == 2))))
-        forced_next = jnp.where(in_core,
-                                jnp.where(force_left, 1,
-                                          jnp.where(force_up, 3, 0)),
-                                0)
+        move, forced_next = _decode_step(in_core, i, j, forced, code,
+                                         fprev, eprev)
         moves_ref[pid, t] = move
         di = jnp.where(move == 0, 0, 1)
         dj = jnp.where(move == 2, 0, 1)
