@@ -187,6 +187,25 @@ def test_chunked_e2e_multi_round(monkeypatch):
     assert chunked.consensus == ref.consensus
 
 
+@pytest.mark.slow
+def test_chunked_fleet_matches_single(monkeypatch):
+    """align_seqs_many with chunked rounds (tiny HBM budget): the
+    fleet's host-side finish branch must match align_seqs exactly."""
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(37)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 500).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08), _mutate(rng, base, 0.1)]
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    ref = msa_native.align_seqs(seqs, params)
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.0025")
+    outs = msa_native.align_seqs_many([seqs], params)
+    assert outs[0].round_scores == ref.round_scores
+    assert outs[0].rows == ref.rows
+    assert outs[0].consensus == ref.consensus
+
+
 def test_round_memory_plan(monkeypatch):
     """3x50kbp scale fits one words plane; the round-2 HBM ceiling
     (100 kbp+) now returns a chunk plan instead of raising; only a
