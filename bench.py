@@ -268,6 +268,7 @@ def orchestrate():
         if primary == 0.0:
             # nothing score-only completed; fall back to ANY throughput
             primary = max(detail.get("psa_traced_gcups_e2e", 0.0),
+                          detail.get("psa_traced_batch_gcups_e2e", 0.0),
                           detail.get("msa_native_tpu_gcups", 0.0))
         print(json.dumps({
             "metric": "psa_gcups_1chip",
