@@ -241,3 +241,16 @@ def test_traced_packed_vmem_and_budget_fallbacks(monkeypatch):
     monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.001")
     out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
     assert [(s, c, a) for s, c, a in out] == want
+
+
+def test_traced_packed_unswapped_m_gt_n():
+    """Library users may pass pairs without the longer-horizontal swap;
+    the packed path must handle m > n identically to the oracle."""
+    rng = np.random.default_rng(61)
+    pairs = [(_rnd(rng, 150), _rnd(rng, 400)),
+             (_rnd(rng, 80), _rnd(rng, 300))]
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c) == (es, ec)
+        assert aln == ealn
