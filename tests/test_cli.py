@@ -126,3 +126,41 @@ def test_msa_batch_cli(tmp_path):
     for i in range(2):
         data = (out_dir / ("set%d.txt" % i)).read_bytes()
         assert b"consensus" in data
+
+
+def test_msa_batch_multiprocess_striding(tmp_path, monkeypatch):
+    """TSTA_NUM_PROCESSES/TSTA_PROCESS_ID stride the input list; output
+    names are globally unique across sibling processes."""
+    import numpy as np
+
+    from tsta_tpu.cli import main as cli_main
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(4):
+        fa = tmp_path / ("set%d.fa" % i)
+        with open(fa, "wb") as f:
+            for k in range(3):
+                s = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                               120).tobytes()
+                f.write(b">r%d\n" % k + s + b"\n")
+        paths.append(str(fa))
+    inputs = tmp_path / "inputs.txt"
+    inputs.write_text("\n".join(paths) + "\n")
+    out_dir = tmp_path / "out"
+    monkeypatch.setenv("TSTA_NUM_PROCESSES", "2")
+    for pid in ("0", "1"):
+        monkeypatch.setenv("TSTA_PROCESS_ID", pid)
+        rc = cli_main(["msa-batch", "--inputs", str(inputs),
+                       "--out-dir", str(out_dir)])
+        assert rc == 0
+    outs = sorted(p.name for p in out_dir.iterdir())
+    assert len(outs) == 4                       # all four, no overwrite
+    # single-process run for comparison: same MSA content per input
+    monkeypatch.setenv("TSTA_NUM_PROCESSES", "1")
+    out_dir2 = tmp_path / "out2"
+    assert cli_main(["msa-batch", "--inputs", str(inputs),
+                     "--out-dir", str(out_dir2)]) == 0
+    single = {p.name.split(".")[0]: p.read_bytes()
+              for p in out_dir2.iterdir()}
+    for p in out_dir.iterdir():
+        assert p.read_bytes() == single[p.name.split(".")[0]]

@@ -114,18 +114,30 @@ def cmd_msa_batch(args) -> int:
         paths = [s for s in stripped if s and not s.startswith("#")]
     if not paths:
         raise ValueError("empty input list")
+    # multi-host: each process takes a strided slice of the input list
+    # (host-level scatter over DCN, as align_manifest does for PSA)
+    n_proc = int(os.environ.get("TSTA_NUM_PROCESSES", "1"))
+    proc_id = int(os.environ.get("TSTA_PROCESS_ID", "0"))
+    gidx = list(range(len(paths)))
+    if n_proc > 1:
+        paths = paths[proc_id::n_proc]
+        gidx = gidx[proc_id::n_proc]
+        if not paths:
+            return 0
     seq_sets = [[r.sequence for r in read_records(p)] for p in paths]
     t0 = time.time()
     outs = msa_native.align_seqs_many(seq_sets, _params(args))
     wall = time.time() - t0
     os.makedirs(args.out_dir, exist_ok=True)
     used = set()
-    for idx, (p, out) in enumerate(zip(paths, outs)):
+    for idx, (p, out) in zip(gidx, zip(paths, outs)):
+        # rename candidates key off the GLOBAL input index so sibling
+        # processes writing the same out-dir cannot collide
         name = os.path.splitext(os.path.basename(p))[0]
-        cand, k = name, idx
+        cand, k = name if n_proc == 1 else "%s.%d" % (name, idx), idx
         while cand in used:            # inputs may share a basename (and
             cand = "%s.%d" % (name, k)  # a literal input may be named
-            k += 1                      # like the renamed form)
+            k += n_proc                 # like the renamed form)
         name = cand
         used.add(name)
         msa.write_result(out, os.path.join(args.out_dir, name + ".txt"))
