@@ -176,6 +176,34 @@ def stage_packed():
     return {"psa_packed_gcups": round(nbs * lns * lns / dt / 1e9, 3)}
 
 
+def stage_msa_50k():
+    """3 x 50 kbp native MSA on TPU -- the long-read case where the POA
+    kernel dominates (reference TSTA_msa: 36.6 s measured, BASELINE)."""
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(bases, 50000).tobytes()
+
+    def mut(s, rate):
+        s = np.frombuffer(s, np.uint8).copy()
+        m = rng.random(len(s)) < rate
+        s[m] = bases[rng.integers(0, 4, m.sum())]
+        return np.delete(s, rng.integers(0, len(s), len(s) // 50)).tobytes()
+
+    seqs = [base, mut(base, 0.05), mut(base, 0.08)]
+    msa_native.align_seqs(seqs, AlignParams())   # warm
+    t0 = time.perf_counter()
+    out = msa_native.align_seqs(seqs, AlignParams())
+    dt = time.perf_counter() - t0
+    cells = sum(g * 50000 for g in [50000] + out.graph_len[:-1])
+    return {"msa_native_50k_wall_s": round(dt, 3),
+            "msa_native_50k_gcups": round(cells / dt / 1e9, 3),
+            "msa_50k_vs_ref_36.6s": round(36.6 / dt, 1)}
+
+
 def stage_msa_compat():
     from tsta_tpu.config import AlignParams
     from tsta_tpu.models import msa as msa_model
@@ -195,6 +223,7 @@ STAGES = {
     "msa_native": stage_msa_native,
     "packed": stage_packed,
     "traced_batch": stage_traced_batch,
+    "msa_50k": stage_msa_50k,
 }
 
 
@@ -253,6 +282,7 @@ PLAN = [
     ("msa_native", [60, 120, 240], 30),
     ("packed", [60, 90, 180], 30),
     ("traced_batch", [60, 90, 180], 30),
+    ("msa_50k", [90, 180, 300], 45),
 ]
 
 
