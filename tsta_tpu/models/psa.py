@@ -57,8 +57,14 @@ def align_pair(seq1: bytes, seq2: bytes, params: AlignParams = AlignParams(),
         return PsaOutput(score=score, corner=corner, swapped=swapped,
                          a_row=aln.a_row, b_row=aln.b_row)
     if use_pallas:
-        from tsta_tpu.ops import psa_pallas
-        res = psa_pallas.psa_align(a, b, params, traced=False)
+        from tsta_tpu.ops import psa_diff, psa_pallas
+        if psa_diff.supports_params(params):
+            # the packed kernel's row body is ~2x the round-1 single
+            # kernel even at P=1 (see psa_pallas.psa_align_traced_device)
+            sc, co = psa_diff.psa_align_batch_diff([(a, b)], params)
+            res = psa_scan.PsaResult(int(sc[0]), int(co[0]))
+        else:
+            res = psa_pallas.psa_align(a, b, params, traced=False)
     else:
         res = psa_scan.psa_align(a, b, params, traced=traced)
     out = PsaOutput(score=int(res.score), corner=int(res.last),
