@@ -340,10 +340,18 @@ def orchestrate():
     done = set()
     max_passes = 6   # probe-stalled passes are cheap (~15 s/stage), so
                      # keep cycling while budget remains
+    # pass 1 runs cheapest-first so partials land early; later passes
+    # lead with the PRIMARY metric stages -- a brief tunnel-recovery
+    # window should go to batch32 before anything else
+    retry_order = ["batch32", "batch8", "traced_batch", "packed",
+                   "msa_native", "traced", "msa_50k", "msa_compat"]
+    plan_by_name = {name: (name, tos, ml) for name, tos, ml in PLAN}
     for npass in range(max_passes):
         if all(name in done for name, _, _ in PLAN):
             break
-        for name, tos, min_left in PLAN:
+        order = PLAN if npass == 0 else [plan_by_name[n]
+                                         for n in retry_order]
+        for name, tos, min_left in order:
             if name in done:
                 continue
             left = deadline - time.time()
