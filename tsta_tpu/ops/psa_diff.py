@@ -804,9 +804,10 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "m_pad", "P", "params",
-                                    "banded"))
+                                    "banded", "spec"))
 def _traced_packed_chain(a8, brows8, nm,
-                         n_pad, m_pad, P, params, banded=False):
+                         n_pad, m_pad, P, params, banded=False,
+                         spec=True):
     """Fused packed DP -> P-pair device walk -> two packed transfers:
     header (3, P) int32 [scores; corners; counts] and the move lists
     (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
@@ -823,7 +824,8 @@ def _traced_packed_chain(a8, brows8, nm,
         n_pad, m_pad, P, params)
     if banded:
         moves, counts = tb._decode_moves_banded_packed(plane, nm,
-                                                       n_pad // LANES)
+                                                       n_pad // LANES,
+                                                       spec)
     else:
         moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
     # ONE device->host transfer per group: [score, corner, count,
@@ -933,10 +935,11 @@ def psa_align_batch_traced_packed(seq_pairs, params):
         banded = (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
                   and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24
                   and P * (m_pad + n_pad) * 4 <= 640 * 1024)
+        spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
         pendings.append((g, (
             _traced_packed_chain(
                 jnp.asarray(a8), jnp.asarray(brows8), jnp.asarray(nm),
-                n_pad, m_pad, P, p, banded), g)))
+                n_pad, m_pad, P, p, banded, spec), g)))
 
     results = [None] * B
     for g, pend in pendings:

@@ -438,7 +438,7 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
 
 
 def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
-                        sem, *, m_rows, n_w_pair, band_w):
+                        sem, *, m_rows, n_w_pair, band_w, spec=True):
     """Grid-(P,) variant of :func:`_walk_kernel` over the packed
     kernel's grouped plane: program p walks pair p, whose packed words
     sit at column offset ``p * n_w_pair`` of the (m_rows, P * n_w_pair)
@@ -498,9 +498,42 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
         move, forced_next = _decode_step(in_core, i, j, forced, code,
                                          fprev, eprev)
         moves_ref[pid, t] = move
-        di = jnp.where(move == 0, 0, 1)
-        dj = jnp.where(move == 2, 0, 1)
-        return i - di, j - dj, t + 1, forced_next, bi0, wj0
+        if not spec:
+            di = jnp.where(move == 0, 0, 1)
+            dj = jnp.where(move == 2, 0, 1)
+            return i - di, j - dj, t + 1, forced_next, bi0, wj0
+
+        # speculative diagonal-run extension: global alignments are
+        # diagonal-dominant (a mismatch at X=-5 beats two gaps at
+        # 2(O+E)), and a diagonal move never consults neighbours or
+        # sets `forced` -- so when this step is an unforced diagonal,
+        # read up to 7 more cells up the diagonal and emit the whole
+        # run in one iteration.  Writes beyond the real run length are
+        # overwritten by later steps (t only advances by `run`), and
+        # i,j >= 7 guarantees >= 8 moves remain, so t+7 < maxlen.
+        can_spec = jnp.logical_and(
+            jnp.logical_and(in_core, forced == 0),
+            jnp.logical_and(
+                move == 1,
+                jnp.logical_and(
+                    jnp.logical_and(i - 7 >= bi0, j >= 7),
+                    base + ((j - 7) >> 2) >= wj0)))
+
+        def extend(_):
+            ok = jnp.int32(1)
+            run = jnp.int32(1)
+            for k in range(1, 8):
+                c = cell(li - k, j - k, wj0)
+                ok = ok * jnp.where(c // 9 == 1, 1, 0)
+                run = run + ok
+                moves_ref[pid, t + k] = 1
+            return run
+
+        run = jax.lax.cond(can_spec, extend,
+                           lambda _: jnp.int32(1), None)
+        di = jnp.where(move == 0, 0, run)
+        dj = jnp.where(move == 2, 0, run)
+        return i - di, j - dj, t + run, forced_next, bi0, wj0
 
     st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0),
           jnp.asarray(-(2 ** 30), jnp.int32),   # forces the first fetch
@@ -509,12 +542,14 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
     count_ref[pid, 0] = t
 
 
-@functools.partial(jax.jit, static_argnames=("Rp",))
-def _decode_moves_banded_packed(plane, nm, Rp):
+@functools.partial(jax.jit, static_argnames=("Rp", "spec"))
+def _decode_moves_banded_packed(plane, nm, Rp, spec=True):
     """Pallas banded walk over the grouped plane; same contract as
     :func:`_decode_moves_packed` (moves int8 (P, maxlen), counts (P,)).
     Requires the per-pair width n_pad = Rp*128 to be 512-aligned
-    (Rp % 4 == 0) and m_pad % 8 == 0."""
+    (Rp % 4 == 0) and m_pad % 8 == 0.  ``spec`` enables the
+    speculative diagonal-run extension (TSTA_SPEC_WALK=0 in the caller
+    opts out)."""
     m_pad, S, L = plane.shape
     P = S // Rp
     n_pad = Rp * L
@@ -527,7 +562,8 @@ def _decode_moves_banded_packed(plane, nm, Rp):
     plane32 = jax.lax.bitcast_convert_type(
         plane.reshape(m_pad, P * n_w_pair, 4), jnp.int32)
     kernel = functools.partial(_walk_kernel_packed, m_rows=m_pad,
-                               n_w_pair=n_w_pair, band_w=band_w)
+                               n_w_pair=n_w_pair, band_w=band_w,
+                               spec=spec)
     moves, counts = pl.pallas_call(
         kernel,
         grid=(P,),
