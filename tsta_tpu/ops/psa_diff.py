@@ -942,10 +942,6 @@ def psa_align_batch_traced_packed(seq_pairs, params):
                 n_pad, m_pad, P, p, banded, spec), g)))
 
     results = [None] * B
-    # same-shape groups' packed outputs concatenate ON DEVICE and come
-    # back in one transfer: each separate device->host read costs a
-    # ~30 ms tunnel RTT, so 4 groups of 8 paid 3 needless RTTs
-    by_shape: dict = {}
     for g, pend in pendings:
         if pend is None:
             for i in g:
@@ -953,25 +949,14 @@ def psa_align_batch_traced_packed(seq_pairs, params):
                     seq_pairs[i][0], seq_pairs[i][1], p)
             continue
         packed, g = pend
-        by_shape.setdefault(packed.shape, []).append((g, packed))
-    for items in by_shape.values():
-        if len(items) == 1:
-            batches = [(items[0][0], np.asarray(items[0][1]))]
-        else:
-            stacked = np.asarray(jnp.concatenate(
-                [pk for _, pk in items], axis=0))
-            batches, row = [], 0
-            for g, pk in items:
-                batches.append((g, stacked[row:row + pk.shape[0]]))
-                row += pk.shape[0]
-        for g, packed in batches:
-            for k, i in enumerate(g):
-                count = int(packed[k, 2])
-                moves = packed[k, 3:3 + -(-count // 4)].tobytes()[:count]
-                aln = tb.emit_alignment(np.frombuffer(moves, np.int8),
-                                        seq_pairs[i][0], seq_pairs[i][1],
-                                        n_real[i], m_real[i])
-                results[i] = (int(packed[k, 0]), int(packed[k, 1]), aln)
+        packed = np.asarray(packed)
+        for k, i in enumerate(g):
+            count = int(packed[k, 2])
+            moves = packed[k, 3:3 + -(-count // 4)].tobytes()[:count]
+            aln = tb.emit_alignment(np.frombuffer(moves, np.int8),
+                                    seq_pairs[i][0], seq_pairs[i][1],
+                                    n_real[i], m_real[i])
+            results[i] = (int(packed[k, 0]), int(packed[k, 1]), aln)
     return results
 
 
