@@ -283,3 +283,20 @@ def test_spec_walk_matches_nonspec():
     for (a, b), (s, c, aln) in zip(pairs, out_spec):
         es, ec, ealn = _traced_oracle(a, b, P0)
         assert (s, c, aln) == (es, ec, ealn)
+
+
+def test_traced_packed_tiny_pairs():
+    """Degenerate lengths through the packed traced path: length-1
+    sides, single-base matches, and a pair just under the spec-walk's
+    i,j >= 7 boundary."""
+    rng = np.random.default_rng(83)
+    pairs = [(np.frombuffer(b"A", np.uint8), np.frombuffer(b"A", np.uint8)),
+             (np.frombuffer(b"ACGT", np.uint8),
+              np.frombuffer(b"T", np.uint8)),
+             (_rnd(rng, 7), _rnd(rng, 7)),
+             (_rnd(rng, 9), _rnd(rng, 8))]
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c) == (es, ec)
+        assert aln == ealn
