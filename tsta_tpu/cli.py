@@ -87,8 +87,17 @@ def cmd_msa(args) -> int:
         from tsta_tpu.parallel import mesh as meshlib
         data, seq = (int(v) for v in args.mesh.lower().split("x"))
         mesh = meshlib.make_mesh(data=data, seq=seq)
+    progress = None
+    if args.engine == "native" and sys.stderr.isatty():
+        # the reference's round progress bar (msa/msa.c:134-138)
+        def progress(done, total):
+            sys.stderr.write("\r[%d/%d]" % (done, total))
+            sys.stderr.flush()
+            if done == total:
+                sys.stderr.write("\n")
     result = msa.align_file(args.input, _params(args), engine=args.engine,
-                            width=width, mesh=mesh, threads=args.T)
+                            width=width, mesh=mesh, threads=args.T,
+                            progress=progress)
     wall = time.time() - t0
     msa.write_result(result, args.output)
     if args.json:

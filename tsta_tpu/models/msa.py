@@ -34,12 +34,16 @@ class MsaOutput:
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                engine: str = "compat", width: int = 10, mesh=None,
-               checkpoint_path=None, threads: int = 0) -> MsaOutput:
+               checkpoint_path=None, threads: int = 0,
+               progress=None) -> MsaOutput:
     """Run progressive POA MSA over ``seqs`` (list of byte strings).
 
     ``width`` is the compat engine's stripe multiplier bS (reference -W,
     default 10; L = 16 * width columns per block).  ``threads`` caps the
     compat engine's OpenMP wavefront (reference -T; 0 = all cores).
+    ``progress`` (native engine only): per-round callback
+    (done, total) -- the CLI's ``\\r[i/n]`` bar (msa/msa.c:134-138);
+    the compat engine runs all rounds inside one C call.
     """
     if not seqs:
         raise ValueError("no sequences")
@@ -49,7 +53,8 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     if engine == "native":
         from tsta_tpu.ops import msa_native
         return msa_native.align_seqs(seqs, params, mesh=mesh,
-                                     checkpoint_path=checkpoint_path)
+                                     checkpoint_path=checkpoint_path,
+                                     progress=progress)
     if engine != "compat":
         raise ValueError("unknown MSA engine %r" % engine)
     if mesh is not None:
@@ -94,11 +99,13 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
 
 def align_file(path: str, params: AlignParams = AlignParams(),
                engine: str = "compat", width: int = 10, mesh=None,
-               checkpoint_path=None, threads: int = 0) -> MsaOutput:
+               checkpoint_path=None, threads: int = 0,
+               progress=None) -> MsaOutput:
     from tsta_tpu.io import read_records
     seqs = [r.sequence for r in read_records(path)]
     return align_seqs(seqs, params, engine=engine, width=width, mesh=mesh,
-                      checkpoint_path=checkpoint_path, threads=threads)
+                      checkpoint_path=checkpoint_path, threads=threads,
+                      progress=progress)
 
 
 def write_result(out: MsaOutput, path: str) -> None:

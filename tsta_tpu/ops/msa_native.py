@@ -258,13 +258,16 @@ def _select_and_fuse(g: PoaGraph, seq: bytes, seq_no: int, sink_scores,
 
 
 def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
-               checkpoint_path: str | None = None, mesh=None):
+               checkpoint_path: str | None = None, mesh=None,
+               progress=None):
     """Progressive POA MSA, device DP per round (native engine).
 
     With ``checkpoint_path``, the graph is snapshotted after every round
     (npz) and a matching snapshot resumes the run mid-way -- the
     reference restarts multi-hour progressive alignments from scratch
-    (SURVEY.md section 5).
+    (SURVEY.md section 5).  ``progress`` (callable taking
+    (done_rounds, total_rounds)) is invoked after each round -- the CLI
+    wires it to the reference's ``\\r[i/n]`` bar (msa/msa.c:134-138).
     """
     from tsta_tpu.models.msa import MsaOutput
     from tsta_tpu.models.poa_graph import load_graph, save_graph
@@ -299,8 +302,11 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     kern = os.environ.get("TSTA_MSA_KERNEL", "auto")
     use_poa = (mesh is None and kern != "scan"
                and (kern == "poa" or jax.default_backend() == "tpu"))
+    n_rounds = len(seqs) - 1
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
+        if progress is not None:
+            progress(n_rounds - len(reads) + read_idx, n_rounds)
         # the POA kernel packs pred indices into 6 bits; rounds whose
         # graph exceeds 64 in-degree fall back to the scan engine
         use_poa_round = use_poa and max(
@@ -354,6 +360,8 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
                 "add_len": add_lens,
                 "next_read_idx": read_idx + 1 + (len(seqs) - 1
                                                 - len(reads))})
+    if progress is not None:
+        progress(n_rounds, n_rounds)
     return MsaOutput(rows=g.msa_rows(), consensus=g.consensus(),
                      round_scores=round_scores, graph_len=graph_lens,
                      add_len=add_lens)
