@@ -94,7 +94,7 @@ def stage_batch(nb):
     out = {"psa_score": int(scores[0]),
            "psa_score_exact": int(scores[0]) == -5}
     dt = time_best(run, warmup=0, iters=3)
-    key = "psa_batch_gcups" if nb >= 32 else "psa_batch%d_gcups" % nb
+    key = "psa_batch_gcups" if nb == 32 else "psa_batch%d_gcups" % nb
     out[key] = round(batch_cells / dt / 1e9, 3)
     return out
 
@@ -224,6 +224,7 @@ STAGES = {
     "packed": stage_packed,
     "traced_batch": stage_traced_batch,
     "msa_50k": stage_msa_50k,
+    "batch128": lambda: stage_batch(128),
 }
 
 
@@ -283,6 +284,7 @@ PLAN = [
     ("packed", [60, 90, 180], 30),
     ("traced_batch", [60, 90, 180], 30),
     ("msa_50k", [90, 180, 300], 45),
+    ("batch128", [60, 120, 240], 30),
 ]
 
 
@@ -292,8 +294,8 @@ def orchestrate():
     detail = {"stages_run": []}
 
     def emit():
-        score_keys = ("psa_batch_gcups", "psa_packed_gcups",
-                      "psa_batch8_gcups")
+        score_keys = ("psa_batch128_gcups", "psa_batch_gcups",
+                      "psa_packed_gcups", "psa_batch8_gcups")
         primary = max((detail.get(k, 0.0) for k in score_keys), default=0.0)
         if primary == 0.0:
             # nothing score-only completed; fall back to ANY throughput
@@ -343,8 +345,9 @@ def orchestrate():
     # pass 1 runs cheapest-first so partials land early; later passes
     # lead with the PRIMARY metric stages -- a brief tunnel-recovery
     # window should go to batch32 before anything else
-    retry_order = ["batch32", "batch8", "traced_batch", "packed",
-                   "msa_native", "traced", "msa_50k", "msa_compat"]
+    retry_order = ["batch128", "batch32", "batch8", "traced_batch",
+                   "packed", "msa_native", "traced", "msa_50k",
+                   "msa_compat"]
     plan_by_name = {name: (name, tos, ml) for name, tos, ml in PLAN}
     for npass in range(max_passes):
         if all(name in done for name, _, _ in PLAN):
