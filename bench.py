@@ -198,7 +198,10 @@ def stage_msa_50k():
     t0 = time.perf_counter()
     out = msa_native.align_seqs(seqs, AlignParams())
     dt = time.perf_counter() - t0
-    cells = sum(g * 50000 for g in [50000] + out.graph_len[:-1])
+    # graph size entering each round x that round's ACTUAL read length
+    # (mut() deletes ~2%; counting 50000 would overstate GCUPS)
+    glen = [len(seqs[0])] + out.graph_len[:-1]
+    cells = sum(g * len(s) for g, s in zip(glen, seqs[1:]))
     return {"msa_native_50k_wall_s": round(dt, 3),
             "msa_native_50k_gcups": round(cells / dt / 1e9, 3),
             "msa_50k_vs_ref_36.6s": round(36.6 / dt, 1)}
@@ -344,16 +347,17 @@ def orchestrate():
                      # keep cycling while budget remains
     # pass 1 runs cheapest-first so partials land early; later passes
     # lead with the PRIMARY metric stages -- a brief tunnel-recovery
-    # window should go to batch32 before anything else
-    retry_order = ["batch128", "batch32", "batch8", "traced_batch",
-                   "packed", "msa_native", "traced", "msa_50k",
-                   "msa_compat"]
-    plan_by_name = {name: (name, tos, ml) for name, tos, ml in PLAN}
+    # window should go to the headline batch stages before anything
+    # else.  Derived from PLAN (unlisted stages sort last by plan
+    # position) so adding a stage cannot silently drop it from retries.
+    priority = {"batch128": 0, "batch32": 1, "batch8": 2,
+                "traced_batch": 3, "packed": 4}
+    retry_plan = sorted(PLAN, key=lambda e: (
+        priority.get(e[0], 99), [n for n, _, _ in PLAN].index(e[0])))
     for npass in range(max_passes):
         if all(name in done for name, _, _ in PLAN):
             break
-        order = PLAN if npass == 0 else [plan_by_name[n]
-                                         for n in retry_order]
+        order = PLAN if npass == 0 else retry_plan
         for name, tos, min_left in order:
             if name in done:
                 continue

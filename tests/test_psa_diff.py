@@ -256,12 +256,10 @@ def test_traced_packed_unswapped_m_gt_n():
         assert aln == ealn
 
 
-def test_spec_walk_matches_nonspec():
+def test_spec_walk_matches_nonspec(monkeypatch):
     """Speculative diagonal-run walk emits the identical move lists:
     similar pairs (long diag runs + gap runs) and random pairs, spec
     on vs off, banded path forced via 512-aligned shapes."""
-    import os
-
     rng = np.random.default_rng(71)
     pairs = []
     for _ in range(3):
@@ -273,12 +271,10 @@ def test_spec_walk_matches_nonspec():
         b = np.delete(b, rng.integers(0, n, n // 30))
         pairs.append((a, b))
     pairs.append((_rnd(rng, 480), _rnd(rng, 460)))
+    monkeypatch.delenv("TSTA_SPEC_WALK", raising=False)
     out_spec = psa_diff.psa_align_batch_traced_packed(pairs, P0)
-    os.environ["TSTA_SPEC_WALK"] = "0"
-    try:
-        out_plain = psa_diff.psa_align_batch_traced_packed(pairs, P0)
-    finally:
-        del os.environ["TSTA_SPEC_WALK"]
+    monkeypatch.setenv("TSTA_SPEC_WALK", "0")
+    out_plain = psa_diff.psa_align_batch_traced_packed(pairs, P0)
     assert out_spec == out_plain
     for (a, b), (s, c, aln) in zip(pairs, out_spec):
         es, ec, ealn = _traced_oracle(a, b, P0)

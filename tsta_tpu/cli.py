@@ -124,15 +124,13 @@ def cmd_msa_batch(args) -> int:
     if not paths:
         raise ValueError("empty input list")
     # multi-host: each process takes a strided slice of the input list
-    # (host-level scatter over DCN, as align_manifest does for PSA)
+    # (host-level scatter over DCN; same helper as align_manifest)
+    from tsta_tpu.parallel.batch import stride_for_process
     n_proc = int(os.environ.get("TSTA_NUM_PROCESSES", "1"))
-    proc_id = int(os.environ.get("TSTA_PROCESS_ID", "0"))
-    gidx = list(range(len(paths)))
-    if n_proc > 1:
-        paths = paths[proc_id::n_proc]
-        gidx = gidx[proc_id::n_proc]
-        if not paths:
-            return 0
+    gidx = stride_for_process(list(range(len(paths))))
+    paths = stride_for_process(paths)
+    if not paths:
+        return 0
     seq_sets = [[r.sequence for r in read_records(p)] for p in paths]
     t0 = time.time()
     outs = msa_native.align_seqs_many(seq_sets, _params(args))

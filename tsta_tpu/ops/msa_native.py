@@ -302,7 +302,9 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
     kern = os.environ.get("TSTA_MSA_KERNEL", "auto")
     use_poa = (mesh is None and kern != "scan"
                and (kern == "poa" or jax.default_backend() == "tpu"))
-    n_rounds = len(seqs) - 1
+    # total rounds: normally len(seqs)-1, but a single-sequence input
+    # still runs one self-alignment round (reads == [0])
+    n_rounds = max(len(seqs) - 1, len(reads))
     for read_idx, seq_no in enumerate(reads):
         seq = seqs[seq_no]
         if progress is not None:

@@ -25,6 +25,18 @@ from tsta_tpu.ops.psa_scan import A_PAD, B_PAD, bucket
 from tsta_tpu.parallel import mesh as meshlib
 
 
+def stride_for_process(items: list) -> list:
+    """Multi-host input scatter: this process's strided slice of an
+    already-filtered input list, per TSTA_NUM_PROCESSES /
+    TSTA_PROCESS_ID.  Shared by ``align_manifest`` and ``tsta
+    msa-batch`` so identical env settings partition identically."""
+    n_proc = int(os.environ.get("TSTA_NUM_PROCESSES", "1"))
+    proc_id = int(os.environ.get("TSTA_PROCESS_ID", "0"))
+    if n_proc <= 1:
+        return items
+    return items[proc_id::n_proc]
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n", "m", "traced"))
 def _batch_scan(a_stack, b_stack, n_reals, m_reals, params, n, m, traced):
     def one(a, b, nr, mr):
@@ -216,32 +228,28 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
         from tsta_tpu.utils.checkpoint import ShardedResults
         store = ShardedResults(resume)
 
-    # multi-host: each process takes a strided slice of the manifest
-    # (host-level input scatter over DCN; results merge via the shared
-    # resume store or per-host score files)
-    import os as _os
-    n_proc = int(_os.environ.get("TSTA_NUM_PROCESSES", "1"))
-    proc_id = int(_os.environ.get("TSTA_PROCESS_ID", "0"))
-
     names, pairs, skipped = [], [], []
     with open(manifest_path) as f:
-        for lineno, line in enumerate(f):
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            if n_proc > 1 and lineno % n_proc != proc_id:
-                continue
-            name, f1, f2 = line.split("\t")[:3]
-            if store is not None and store.done(name):
-                skipped.append(store.get(name))
-                continue
-            r1 = next(iter(read_records(f1)), None)
-            r2 = next(iter(read_records(f2)), None)
-            if r1 is None or r2 is None:
-                raise ValueError("manifest pair %r: empty sequence input"
-                                 % name)
-            names.append(name)
-            pairs.append((r1.sequence, r2.sequence))
+        rows = [ln.strip() for ln in f]
+    rows = [ln for ln in rows if ln and not ln.startswith("#")]
+    # multi-host: each process takes a strided slice of the manifest
+    # (host-level input scatter over DCN; results merge via the shared
+    # resume store or per-host score files).  Striding happens AFTER
+    # comment/blank filtering, matching `tsta msa-batch` (see
+    # stride_for_process) -- identical env settings partition identical
+    # logical inputs on both tools.
+    for line in stride_for_process(rows):
+        name, f1, f2 = line.split("\t")[:3]
+        if store is not None and store.done(name):
+            skipped.append(store.get(name))
+            continue
+        r1 = next(iter(read_records(f1)), None)
+        r2 = next(iter(read_records(f2)), None)
+        if r1 is None or r2 is None:
+            raise ValueError("manifest pair %r: empty sequence input"
+                             % name)
+        names.append(name)
+        pairs.append((r1.sequence, r2.sequence))
     # traced on a real TPU: per-pair device decode (planes stay in HBM)
     device_traced = (traced and mesh is None
                      and jax.default_backend() == "tpu")
