@@ -133,6 +133,40 @@ def test_diff_kernel_sharded_matches_unsharded(mesh81):
     assert np.array_equal(c1, c2)
 
 
+def test_traced_packed_sharded_matches_unsharded(mesh24):
+    """Traced packed batches shard over the data axis: per-pair scores,
+    corners AND decoded alignments must equal the single-device packed
+    run (ROADMAP backlog 3; pairs are independent, so the shard_map
+    body has no collectives)."""
+    from tsta_tpu.ops import psa_diff
+    rng = np.random.default_rng(41)
+    pairs = []
+    for _ in range(5):  # not a multiple of the data axis
+        n = int(rng.integers(60, 260))
+        m = int(rng.integers(40, n + 1))   # swapped contract: len(a) >= len(b)
+        pairs.append((rng.integers(65, 69, n).astype(np.uint8),
+                      rng.integers(65, 69, m).astype(np.uint8)))
+    p = (2, -5, -2, -4)
+    ref = psa_diff.psa_align_batch_traced_packed(pairs, p)
+    shd = psa_diff.psa_align_batch_traced_packed(pairs, p, mesh=mesh24)
+    for (s1, c1, a1), (s2, c2, a2) in zip(ref, shd):
+        assert (s1, c1) == (s2, c2)
+        assert a1 == a2
+
+
+def test_traced_sharded_via_batch_api(mesh81):
+    """parallel.batch.align_batch_traced_device threads the mesh through
+    to the packed traced path."""
+    rng = np.random.default_rng(43)
+    pairs = [(rng.integers(65, 69, 150).astype(np.uint8),
+              rng.integers(65, 69, 120).astype(np.uint8))
+             for _ in range(3)]
+    params = AlignParams()
+    ref = batch.align_batch_traced_device(pairs, params)
+    shd = batch.align_batch_traced_device(pairs, params, mesh=mesh81)
+    assert [(s, c, a) for s, c, a in ref] == [(s, c, a) for s, c, a in shd]
+
+
 def test_diff_kernel_sharded_on_2d_mesh(mesh24):
     from tsta_tpu.ops import psa_diff
     rng = np.random.default_rng(22)

@@ -802,20 +802,12 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
     )(brows, a32, nm)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_pad", "m_pad", "P", "params",
-                                    "banded", "spec"))
-def _traced_packed_chain(a8, brows8, nm,
-                         n_pad, m_pad, P, params, banded=False,
-                         spec=True):
-    """Fused packed DP -> P-pair device walk -> two packed transfers:
-    header (3, P) int32 [scores; corners; counts] and the move lists
-    (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
-    kernel with SMEM band prefetch (~0.2 us/step; measured 4.3 us/step
-    for the lockstep XLA gather walk on v5e) -- pairs walk sequentially
-    on the core but each step is an SMEM read, a ~20x win; the lockstep
-    walk remains the fallback for shapes outside the band alignment
-    gate.  (Reference walks host planes sequentially, psa.c:434-519.)"""
+def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
+                      spec):
+    """One group's fused packed DP -> P-pair device walk -> one packed
+    (P, 3 + ...) int32 result: [score, corner, count, moves-4-per-word].
+    Plain jax ops (no jit) so the same graph serves both the single-
+    device jitted chain and the shard_map body."""
     from tsta_tpu.ops import traceback as tb
 
     # sequences ship as uint8 (4x fewer tunnel bytes) and widen here
@@ -839,7 +831,129 @@ def _traced_packed_chain(a8, brows8, nm,
     return jnp.concatenate([header, packed], axis=1)
 
 
-def psa_align_batch_traced_packed(seq_pairs, params):
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "m_pad", "P", "params",
+                                    "banded", "spec"))
+def _traced_packed_chain(a8, brows8, nm,
+                         n_pad, m_pad, P, params, banded=False,
+                         spec=True):
+    """Fused packed DP -> P-pair device walk -> two packed transfers:
+    header (3, P) int32 [scores; corners; counts] and the move lists
+    (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
+    kernel with SMEM band prefetch (~0.2 us/step; measured 4.3 us/step
+    for the lockstep XLA gather walk on v5e) -- pairs walk sequentially
+    on the core but each step is an SMEM read, a ~20x win; the lockstep
+    walk remains the fallback for shapes outside the band alignment
+    gate.  (Reference walks host planes sequentially, psa.c:434-519.)"""
+    return _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params,
+                             banded, spec)
+
+
+@functools.lru_cache(maxsize=32)
+def _traced_sharded_call(mesh, n_pad, m_pad, P, params, banded, spec):
+    """shard_map wrapper for the traced chain: G same-shape groups
+    stacked on a leading axis sharded over ``data``; each device runs
+    its local groups' DP + walk with NO collectives (pairs are
+    independent problems -- the data axis the reference lacks,
+    SURVEY.md section 2 item 5).  Cached like _sharded_call: rebuilding
+    the closure per call defeats jax's compilation cache."""
+    try:
+        from jax import shard_map  # jax >= 0.9
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+    spec_g = PS("data")
+
+    def shard_fn(a8, brows8, nm):
+        # local shapes (G_local, S, LANES) / (G_local, m_pad, P) /
+        # (G_local, P, 2); the group loop is static, so XLA sees
+        # G_local independent chain graphs and pipelines them
+        return jnp.stack([
+            _traced_chain_ops(a8[g], brows8[g], nm[g], n_pad, m_pad, P,
+                              params, banded, spec)
+            for g in range(a8.shape[0])])
+
+    return jax.jit(shard_map(shard_fn, mesh=mesh,
+                             in_specs=(spec_g,) * 3, out_specs=spec_g,
+                             check_vma=False))
+
+
+def _emit_packed_row(row, a, b, n, m):
+    """Decode one pair's packed int32 result row into (score, corner,
+    Alignment)."""
+    from tsta_tpu.ops import traceback as tb
+    count = int(row[2])
+    moves = row[3:3 + -(-count // 4)].tobytes()[:count]
+    aln = tb.emit_alignment(np.frombuffer(moves, np.int8), a, b, n, m)
+    return (int(row[0]), int(row[1]), aln)
+
+
+def _banded_walk_gate(Rp, m_pad, P, n_pad):
+    """Shared gate for the grid-(P,) banded Pallas walk: 512-aligned
+    per-pair width (Mosaic DMA slice rule), 8-aligned rows, and the
+    (P, m+n) int32 SMEM move-list budget.  TSTA_BANDED_WALK=0 opts out
+    (the lockstep XLA gather walk is the fallback either way)."""
+    import os
+    return (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
+            and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24
+            and P * (m_pad + n_pad) * 4 <= 640 * 1024)
+
+
+def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):
+    """Traced batch sharded over the mesh ``data`` axis.
+
+    All pairs share ONE padded shape (max over the batch) so G groups
+    stack on a leading axis that shard_map splits across devices; the
+    padding waste buys a single SPMD program with no collectives.
+    Returns None when the uniform shape cannot fit the per-device plane
+    budget -- the caller falls back to the unsharded grouping (which
+    buckets shapes and chunks oversized pairs)."""
+    import os
+
+    from tsta_tpu.ops import psa_pallas
+
+    B = len(seq_pairs)
+    n_data = mesh.shape["data"]
+    np128 = (max(n_real) + LANES - 1) // LANES * LANES
+    np512 = -(-np128 // 512) * 512
+    # same 512-rounding rule as the unsharded bucket: enables the banded
+    # walk when it costs < 25% padding
+    n_pad = np512 if np512 * 4 <= np128 * 5 else np128
+    m_pad = -(-max(m_real) // T_R) * T_R
+    Rp = n_pad // LANES
+    if Rp > S_CAP_TRACED:
+        return None
+    P = max(1, min(P_CAP_TRACED, S_CAP_TRACED // Rp, B))
+    G = -(-B // P)
+    G = -(-G // n_data) * n_data
+    # per-device HBM: G_local groups' planes may be live at once inside
+    # the one jitted program (XLA may overlap independent groups)
+    if 2 * m_pad * P * n_pad * (G // n_data) > psa_pallas._traced_plane_budget():
+        return None
+    S = P * Rp
+    a8 = np.full((G, S, LANES), A_PAD, np.uint8)
+    brows8 = np.full((G, m_pad, P), B_PAD, np.uint8)
+    nm = np.zeros((G, P, 2), np.int32)
+    for slot in range(G * P):
+        i = min(slot, B - 1)   # pad slots repeat the last pair
+        g, k = divmod(slot, P)
+        a, b = seq_pairs[i]
+        arow = np.full(n_pad, A_PAD, np.uint8)
+        arow[:n_real[i]] = a
+        a8[g, k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
+        brows8[g, :m_real[i], k] = b
+        nm[g, k] = (n_real[i], m_real[i])
+    banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
+    spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
+    fn = _traced_sharded_call(mesh, n_pad, m_pad, P, p, banded, spec)
+    packed = np.asarray(fn(jnp.asarray(a8), jnp.asarray(brows8),
+                           jnp.asarray(nm)))
+    return [_emit_packed_row(packed[i // P, i % P], seq_pairs[i][0],
+                             seq_pairs[i][1], n_real[i], m_real[i])
+            for i in range(B)]
+
+
+def psa_align_batch_traced_packed(seq_pairs, params, mesh=None):
     """Traced batch via the packed kernel + lockstep device walk.
 
     ``seq_pairs``: encoded uint8 (a, b) pairs, already swapped so the
@@ -849,9 +963,13 @@ def psa_align_batch_traced_packed(seq_pairs, params):
     first host sync, so dispatch RTTs overlap device work.  Groups
     whose plane exceeds the HBM budget fall back to the per-pair
     chunked path.
+
+    ``mesh``: a (data, seq) Mesh; groups shard over the ``data`` axis
+    (one uniform padded shape, see _traced_packed_sharded).  Falls back
+    to the single-device grouping when the uniform shape cannot fit the
+    per-device plane budget.
     """
     from tsta_tpu.ops import psa_pallas
-    from tsta_tpu.ops import traceback as tb
 
     p = _as_tuple(params)
     if not supports_params(p):
@@ -864,6 +982,10 @@ def psa_align_batch_traced_packed(seq_pairs, params):
         if n_real[i] < 1 or m_real[i] < 1:
             raise ValueError("pair %d has an empty sequence "
                              "(lengths %d, %d)" % (i, n_real[i], m_real[i]))
+    if mesh is not None and mesh.shape["data"] > 1:
+        out = _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real)
+        if out is not None:
+            return out
     budget = psa_pallas._traced_plane_budget()
 
     # bucket by padded shape (padding waste in the shared plane is pure
@@ -924,17 +1046,12 @@ def psa_align_batch_traced_packed(seq_pairs, params):
             a8[k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
             brows8[:m_real[i], k] = b
             nm[k] = (n_real[i], m_real[i])
-        # banded Pallas walk gate: 512-aligned per-pair width (Mosaic
-        # DMA slice rule), 8-aligned rows, and the (P, m+n) int32 SMEM
-        # move-list budget.  This kernel's constraints differ from the
+        # banded gate: this kernel's constraints differ from the
         # single-pair walk's gate in psa_pallas._traced_submit (its
         # moves output is (1, m+n) and its band spans 4096 cells) --
-        # the two are not interchangeable.  TSTA_BANDED_WALK=0 opts out
-        # of both.
+        # the two are not interchangeable.
         import os
-        banded = (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
-                  and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24
-                  and P * (m_pad + n_pad) * 4 <= 640 * 1024)
+        banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
         spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
         pendings.append((g, (
             _traced_packed_chain(
@@ -951,12 +1068,9 @@ def psa_align_batch_traced_packed(seq_pairs, params):
         packed, g = pend
         packed = np.asarray(packed)
         for k, i in enumerate(g):
-            count = int(packed[k, 2])
-            moves = packed[k, 3:3 + -(-count // 4)].tobytes()[:count]
-            aln = tb.emit_alignment(np.frombuffer(moves, np.int8),
-                                    seq_pairs[i][0], seq_pairs[i][1],
-                                    n_real[i], m_real[i])
-            results[i] = (int(packed[k, 0]), int(packed[k, 1]), aln)
+            results[i] = _emit_packed_row(packed[k], seq_pairs[i][0],
+                                          seq_pairs[i][1],
+                                          n_real[i], m_real[i])
     return results
 
 

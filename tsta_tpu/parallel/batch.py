@@ -170,7 +170,8 @@ def align_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
 
 def align_batch_traced_device(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                               params: AlignParams = AlignParams(),
-                              swap: bool = True):
+                              swap: bool = True,
+                              mesh=None):
     """Traced batch with per-pair DEVICE traceback decode.
 
     The packed traceback plane stays in HBM and the device walks it
@@ -205,7 +206,7 @@ def align_batch_traced_device(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     # TSTA_TRACED_PACKED=0 falls back to the per-pair pipelined chains.
     if (len(prepped) >= 2 and psa_diff.supports_params(p)
             and os.environ.get("TSTA_TRACED_PACKED", "1") not in ("", "0")):
-        return psa_diff.psa_align_batch_traced_packed(prepped, p)
+        return psa_diff.psa_align_batch_traced_packed(prepped, p, mesh=mesh)
     pendings = [psa_pallas._traced_submit(a, b, p) for a, b in prepped]
     return [psa_pallas._traced_finish(pd) if pd is not None
             else psa_pallas.psa_align_traced_chunked(a, b, p)
@@ -250,12 +251,12 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
                              % name)
         names.append(name)
         pairs.append((r1.sequence, r2.sequence))
-    # traced on a real TPU: per-pair device decode (planes stay in HBM)
-    device_traced = (traced and mesh is None
-                     and jax.default_backend() == "tpu")
+    # traced on a real TPU: per-pair device decode (planes stay in HBM);
+    # with a mesh, the packed traced groups shard over the data axis
+    device_traced = traced and jax.default_backend() == "tpu"
     alns = [None] * len(pairs)
     if device_traced:
-        traced_out = align_batch_traced_device(pairs, params)
+        traced_out = align_batch_traced_device(pairs, params, mesh=mesh)
         results = [psa_scan.PsaResult(s, c) for s, c, _ in traced_out]
         alns = [aln for _, _, aln in traced_out]
     else:
