@@ -92,3 +92,93 @@ def test_read_reference_example():
 def test_file_object_input():
     recs = list(read_records(io.BufferedReader(io.BytesIO(b">a\nAC\n"))))
     assert recs[0].sequence == b"AC"
+
+
+# ---------------------------------------------------------------------
+# Native C parser (native/seqio_fast.c): byte-for-byte parity with the
+# Python streaming parser, which stays the reference implementation.
+# ---------------------------------------------------------------------
+
+def _native_available():
+    try:
+        from tsta_tpu.native import build
+        build.load_seqio()
+        return True
+    except Exception:
+        return False
+
+
+needs_native = pytest.mark.skipif(not _native_available(),
+                                  reason="no C toolchain")
+
+
+def _parse_both(data, monkeypatch):
+    from tsta_tpu.io import seqio
+    out = []
+    for knob in ("0", "1"):
+        monkeypatch.setenv("TSTA_NATIVE_SEQIO", knob)
+        out.append(list(read_records(io.BytesIO(data))))
+    return out
+
+
+@needs_native
+def test_native_parity_fuzz(monkeypatch):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(40):
+        fastq = bool(rng.integers(0, 2))
+        eol = b"\r\n" if rng.integers(0, 2) else b"\n"
+        parts = [eol * int(rng.integers(0, 2))]
+        for r in range(int(rng.integers(1, 6))):
+            ln = int(rng.integers(0, 300))
+            seq = bases[rng.integers(0, 4, ln)].tobytes()
+            name = b"r%d_%d" % (trial, r)
+            com = [b"", b" a comment", b"  two  words ",
+                   b"\ttabbed"][int(rng.integers(0, 4))]
+            wrap = int(rng.integers(1, 120))
+            lines = [seq[i:i + wrap] for i in range(0, ln, wrap)] or [b""]
+            if fastq:
+                qual = bytes([int(33 + rng.integers(0, 40))]) * ln
+                qlines = [qual[i:i + wrap] for i in range(0, ln, wrap)] \
+                    or [b""]
+                parts.append(b"@" + name + com + eol
+                             + eol.join(lines) + eol
+                             + b"+" + (name if rng.integers(0, 2) else b"")
+                             + eol + eol.join(qlines) + eol)
+            else:
+                parts.append(b">" + name + com + eol
+                             + eol.join(lines) + eol
+                             + eol * int(rng.integers(0, 2)))
+        data = b"".join(parts)
+        py, nat = _parse_both(data, monkeypatch)
+        assert py == nat, "trial %d: %r" % (trial, data[:120])
+
+
+@needs_native
+def test_native_parity_reference_example(monkeypatch):
+    from tsta_tpu.io import seqio
+    with open("/root/reference/example/msa/seq/seq1.fa", "rb") as f:
+        data = f.read()
+    py, nat = _parse_both(data, monkeypatch)
+    assert py == nat and len(nat) == 5
+
+
+@needs_native
+def test_native_error_parity(monkeypatch):
+    bads = [b"ACGT\n>x\nAC\n", b"xyz\n", b"@r\nACGT\n+\nII\n",
+            b"@r\nAC\n+\nIIII\nNOPE\n"]
+    for bad in bads:
+        for knob in ("0", "1"):
+            monkeypatch.setenv("TSTA_NATIVE_SEQIO", knob)
+            with pytest.raises(ValueError):
+                list(read_records(io.BytesIO(bad)))
+
+
+@needs_native
+def test_native_gzip_path(tmp_path, monkeypatch):
+    monkeypatch.setenv("TSTA_NATIVE_SEQIO", "1")
+    p = tmp_path / "x.plain"
+    p.write_bytes(gzip.compress(b">z\nACGTACGT\nTT\n"))
+    recs = list(read_records(p))
+    assert recs == [SeqRecord("z", b"ACGTACGTTT")]

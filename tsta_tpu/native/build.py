@@ -49,27 +49,33 @@ def _compile(src: str, out: str) -> None:
         raise RuntimeError("native build failed:\n%s" % proc.stderr)
 
 
+def _load_cached(srcname: str, stem: str) -> ctypes.CDLL:
+    """Compile ``srcname`` (if needed) into the content-hash-keyed cache
+    and load it.  Callers set restype/argtypes on the returned lib."""
+    src = os.path.join(_DIR, srcname)
+    cc = os.environ.get("CC", "gcc")
+    h = hashlib.sha256()
+    with open(src, "rb") as f:
+        h.update(f.read())
+    h.update(" ".join([cc] + _all_cflags()).encode())  # flags in the key
+    digest = h.hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "TSTA_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tsta_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, "lib%s_%s.so" % (stem, digest))
+    if not os.path.exists(out):
+        _compile(src, out)
+    return ctypes.CDLL(out)
+
+
 def load() -> ctypes.CDLL:
     """Compile (if needed) and load the compat engine library."""
     global _LIB
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        src = os.path.join(_DIR, "compat_msa.c")
-        cc = os.environ.get("CC", "gcc")
-        h = hashlib.sha256()
-        with open(src, "rb") as f:
-            h.update(f.read())
-        h.update(" ".join([cc] + _all_cflags()).encode())  # flags in the key
-        digest = h.hexdigest()[:16]
-        cache_dir = os.environ.get(
-            "TSTA_NATIVE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "tsta_native"))
-        os.makedirs(cache_dir, exist_ok=True)
-        out = os.path.join(cache_dir, "libtsta_compat_%s.so" % digest)
-        if not os.path.exists(out):
-            _compile(src, out)
-        lib = ctypes.CDLL(out)
+        lib = _load_cached("compat_msa.c", "tsta_compat")
         lib.tsta_msa_run.restype = ctypes.c_int
         lib.tsta_msa_run.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
@@ -79,4 +85,43 @@ def load() -> ctypes.CDLL:
         ]
         lib.tsta_msa_free.argtypes = [ctypes.POINTER(MsaResultStruct)]
         _LIB = lib
+        return lib
+
+
+class SeqIndexStruct(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_long),
+        ("cap", ctypes.c_long),
+        ("name_off", ctypes.POINTER(ctypes.c_long)),
+        ("name_len", ctypes.POINTER(ctypes.c_long)),
+        ("com_off", ctypes.POINTER(ctypes.c_long)),
+        ("com_len", ctypes.POINTER(ctypes.c_long)),
+        ("seq_off", ctypes.POINTER(ctypes.c_long)),
+        ("seq_len", ctypes.POINTER(ctypes.c_long)),
+        ("qual_off", ctypes.POINTER(ctypes.c_long)),
+        ("qual_len", ctypes.POINTER(ctypes.c_long)),
+        ("text", ctypes.POINTER(ctypes.c_ubyte)),
+        ("text_len", ctypes.c_long),
+        ("is_fastq", ctypes.c_int),
+        ("err", ctypes.c_char * 256),
+    ]
+
+
+_SEQIO_LIB = None
+
+
+def load_seqio() -> ctypes.CDLL:
+    """Compile (if needed) and load the native seqio parser library."""
+    global _SEQIO_LIB
+    with _LOCK:
+        if _SEQIO_LIB is not None:
+            return _SEQIO_LIB
+        lib = _load_cached("seqio_fast.c", "tsta_seqio")
+        lib.tsta_seqio_parse.restype = ctypes.c_int
+        lib.tsta_seqio_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(SeqIndexStruct),
+        ]
+        lib.tsta_seqio_free.argtypes = [ctypes.POINTER(SeqIndexStruct)]
+        _SEQIO_LIB = lib
         return lib
