@@ -178,3 +178,38 @@ def test_diff_kernel_sharded_on_2d_mesh(mesh24):
     s2, c2 = psa_diff.psa_align_batch_diff(pairs, p, mesh=mesh24)
     assert np.array_equal(s1, s2)
     assert np.array_equal(c1, c2)
+
+
+def test_traced_sharded_chunks_over_budget(mesh24, monkeypatch):
+    """A sharded traced batch whose groups exceed the per-device plane
+    budget must split into sequential shard_map calls (not silently run
+    unsharded): results still equal the unconstrained run."""
+    from tsta_tpu.ops import psa_diff
+    rng = np.random.default_rng(47)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(60, 260))
+        m = int(rng.integers(40, n + 1))
+        pairs.append((rng.integers(65, 69, n).astype(np.uint8),
+                      rng.integers(65, 69, m).astype(np.uint8)))
+    p = (2, -5, -2, -4)
+    ref = psa_diff.psa_align_batch_traced_packed(pairs, p)
+    # ~1.5 MB/group plane cost at these shapes; a 1.7 MB budget forces
+    # g_local_max=1 -> g_call=2 -> two sequential shard_map calls
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.0016")
+    calls = []
+    orig = psa_diff._traced_sharded_call
+
+    def spy(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*xs):
+            calls.append(1)
+            return fn(*xs)
+        return wrapped
+    monkeypatch.setattr(psa_diff, "_traced_sharded_call", spy)
+    shd = psa_diff.psa_align_batch_traced_packed(pairs, p, mesh=mesh24)
+    assert len(calls) >= 2, "expected the batch to split into chunks"
+    for (s1, c1, a1), (s2, c2, a2) in zip(ref, shd):
+        assert (s1, c1) == (s2, c2)
+        assert a1 == a2

@@ -182,3 +182,29 @@ def test_native_gzip_path(tmp_path, monkeypatch):
     p.write_bytes(gzip.compress(b">z\nACGTACGT\nTT\n"))
     recs = list(read_records(p))
     assert recs == [SeqRecord("z", b"ACGTACGTTT")]
+
+
+@needs_native
+def test_native_partial_records_before_error(monkeypatch):
+    """A malformed LATER record must not break consumers that stop
+    early (align_manifest reads only the first record): both engines
+    yield the completed records, then raise at the bad one."""
+    data = b"@r1 ok\nACGT\n+\nIIII\n@r2\nACGT\n+\nII\n"
+    for knob in ("0", "1"):
+        monkeypatch.setenv("TSTA_NATIVE_SEQIO", knob)
+        it = read_records(io.BytesIO(data))
+        first = next(it)
+        assert first.name == "r1" and first.sequence == b"ACGT"
+        with pytest.raises(ValueError):
+            list(it)
+
+
+def test_read_first_record(tmp_path):
+    from tsta_tpu.io import read_first_record
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a c\nAC\nGT\n>b\nGG\n")
+    rec = read_first_record(p)
+    assert rec == SeqRecord("a", b"ACGT", "c")
+    e = tmp_path / "e.fa"
+    e.write_bytes(b"")
+    assert read_first_record(e) is None

@@ -3,6 +3,7 @@ from tsta_tpu.io.seqio import (
     open_seq,
     read_fasta,
     read_fastq,
+    read_first_record,
     read_records,
     write_fasta,
     write_fastq,
@@ -14,6 +15,7 @@ __all__ = [
     "open_seq",
     "read_fasta",
     "read_fastq",
+    "read_first_record",
     "read_records",
     "write_fasta",
     "write_fastq",

@@ -102,12 +102,14 @@ def _native_enabled() -> bool:
             and os.environ.get("TSTA_NATIVE_SEQIO", "1") not in ("", "0"))
 
 
-def _parse_native(data: bytes) -> list:
+def _parse_native(data: bytes) -> tuple:
     """Parse a whole in-memory FASTA/FASTQ buffer with the C parser
     (native/seqio_fast.c) -- the native counterpart of the reference's
-    seqio.c, ~20x the Python state machine on large files.  Raises
-    ValueError for malformed input (same messages as the Python parser)
-    and RuntimeError/OSError when the library cannot be built/loaded."""
+    seqio.c.  Returns (records, error_message_or_None): on malformed
+    input the records COMPLETED before the error are still returned so
+    the generator can yield them before raising, matching the streaming
+    Python parser's behavior for consumers that stop early.  Raises
+    RuntimeError/OSError when the library cannot be built/loaded."""
     import ctypes
 
     from tsta_tpu.native import build as nbuild
@@ -115,12 +117,11 @@ def _parse_native(data: bytes) -> list:
     _NATIVE_STATE[0] = True
     ix = nbuild.SeqIndexStruct()
     rc = lib.tsta_seqio_parse(data, len(data), ctypes.byref(ix))
-    if rc != 0:
-        raise ValueError(ix.err.decode("utf-8", "replace"))
+    err = ix.err.decode("utf-8", "replace") if rc != 0 else None
     try:
         n = ix.n
         if n == 0:
-            return []
+            return [], err
         # one bulk copy of the compacted text + numpy views of the offset
         # arrays; per-record work is then pure bytes slicing (5 ctypes
         # calls per record measured slower than the Python parser)
@@ -137,7 +138,7 @@ def _parse_native(data: bytes) -> list:
                           text[so[i]:so[i] + sl[i]],
                           text[co[i]:co[i] + cl[i]].decode(),
                           text[qo[i]:qo[i] + ql[i]] if qo[i] >= 0 else None)
-                for i in range(n)]
+                for i in range(n)], err
     finally:
         lib.tsta_seqio_free(ctypes.byref(ix))
 
@@ -173,7 +174,7 @@ def read_records(path: PathOrFile) -> Iterator[SeqRecord]:
         if _native_enabled():
             data = f.read()
             try:
-                recs = _parse_native(data)
+                recs, err = _parse_native(data)
             except (RuntimeError, OSError):
                 # no toolchain / load failure: fall back for good
                 _NATIVE_STATE[0] = False
@@ -181,10 +182,33 @@ def read_records(path: PathOrFile) -> Iterator[SeqRecord]:
                     io.BufferedReader(io.BytesIO(data)))
                 return
             yield from recs
+            if err is not None:
+                # raise AFTER the completed records, exactly where the
+                # streaming parser would (early-stopping consumers --
+                # e.g. first-record reads -- never see the error)
+                raise ValueError(err)
             return
         buffered = io.BufferedReader(f) if not isinstance(
             f, io.BufferedReader) else f
         yield from _iter_stream(buffered)
+    finally:
+        if close:
+            f.close()
+
+
+def read_first_record(path: PathOrFile) -> Optional[SeqRecord]:
+    """First record of a file, or None if it has none.
+
+    Always uses the STREAMING parser: manifest-style consumers read one
+    record from many (possibly huge) files, and the native whole-buffer
+    parse would cost a full read + ~3x the file size in memory per
+    file for one record."""
+    f = open_seq(path)
+    close = not hasattr(path, "read")
+    try:
+        buffered = io.BufferedReader(f) if not isinstance(
+            f, io.BufferedReader) else f
+        return next(_iter_stream(buffered), None)
     finally:
         if close:
             f.close()

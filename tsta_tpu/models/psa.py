@@ -96,9 +96,9 @@ def align_files(path1: str, path2: str, params: AlignParams = AlignParams(),
     seqio carries a FASTQ reader its tools never call (seqio.c:543-641);
     here it is live.
     """
-    from tsta_tpu.io import read_records
-    rec1 = next(iter(read_records(path1)), None)
-    rec2 = next(iter(read_records(path2)), None)
+    from tsta_tpu.io import read_first_record
+    rec1 = read_first_record(path1)
+    rec2 = read_first_record(path2)
     if rec1 is None or rec2 is None:
         raise ValueError("empty sequence input")
     return align_pair(rec1.sequence, rec2.sequence, params, traced=traced,

@@ -64,8 +64,7 @@ void tsta_seqio_free(TstaSeqIndex *ix) {
     free(ix->qual_off); free(ix->qual_len);
     free(ix->text);
     char err[256];
-    memcpy(err, ix->err, 256);      /* error paths free then return the
-                                     * struct with only err meaningful */
+    memcpy(err, ix->err, 256);      /* keep err readable after free */
     memset(ix, 0, sizeof(*ix));
     memcpy(ix->err, err, 256);
 }
@@ -110,7 +109,10 @@ static long emit(TstaSeqIndex *ix, const unsigned char *buf, long off,
 }
 
 /* Parse a whole FASTA/FASTQ buffer.  Returns 0 on success; on error
- * returns nonzero with ix->err set (partial index freed). */
+ * returns nonzero with ix->err set and the index still holding every
+ * record COMPLETED before the error (the streaming Python parser yields
+ * those records before raising -- consumers that stop early must see
+ * them; caller frees either way). */
 int tsta_seqio_parse(const unsigned char *buf, long len,
                      TstaSeqIndex *ix) {
     memset(ix, 0, sizeof(*ix));
@@ -128,7 +130,6 @@ int tsta_seqio_parse(const unsigned char *buf, long len,
     if (first != '>' && first != '@') {
         snprintf(ix->err, 256,
                  "unrecognised sequence format (first byte %c)", first);
-        tsta_seqio_free(ix);
         return 1;
     }
     ix->is_fastq = (first == '@');
@@ -146,7 +147,6 @@ int tsta_seqio_parse(const unsigned char *buf, long len,
                 }
                 if (ix->n >= ix->cap && grow(ix)) {
                     snprintf(ix->err, 256, "out of memory");
-                    tsta_seqio_free(ix);
                     return 1;
                 }
                 long no, nl, co, cl;
@@ -164,7 +164,6 @@ int tsta_seqio_parse(const unsigned char *buf, long len,
                 if (!have) {
                     snprintf(ix->err, 256,
                              "sequence data before first FASTA header");
-                    tsta_seqio_free(ix);
                     return 1;
                 }
                 emit(ix, buf, lo, ln);   /* appends contiguously */
@@ -185,12 +184,10 @@ int tsta_seqio_parse(const unsigned char *buf, long len,
         if (buf[lo] != '@') {
             snprintf(ix->err, 256,
                      "malformed FASTQ: expected '@', got %c", buf[lo]);
-            tsta_seqio_free(ix);
             return 1;
         }
         if (ix->n >= ix->cap && grow(ix)) {
             snprintf(ix->err, 256, "out of memory");
-            tsta_seqio_free(ix);
             return 1;
         }
         long no, nl, co, cl;
@@ -224,7 +221,6 @@ int tsta_seqio_parse(const unsigned char *buf, long len,
                      "length %ld", (int)(nl > 100 ? 100 : nl),
                      (const char *)ix->text + ix->name_off[ix->n],
                      qual_n, seq_n);
-            tsta_seqio_free(ix);
             return 1;
         }
         ix->seq_off[ix->n] = seq_at;

@@ -888,6 +888,17 @@ def _emit_packed_row(row, a, b, n, m):
     return (int(row[0]), int(row[1]), aln)
 
 
+def _traced_n_pad(n_max):
+    """Padded per-pair width for the traced packed kernel: LANES-rounded,
+    then 512-rounded when that costs < 25% padding -- the banded Pallas
+    walk needs n_pad % 512 == 0, and near-miss lengths (e.g. the 10,000
+    bp example vs 10,240 bp reads) then share one group instead of
+    splitting into a lockstep singleton."""
+    np128 = (n_max + LANES - 1) // LANES * LANES
+    np512 = -(-np128 // 512) * 512
+    return np512 if np512 * 4 <= np128 * 5 else np128
+
+
 def _banded_walk_gate(Rp, m_pad, P, n_pad):
     """Shared gate for the grid-(P,) banded Pallas walk: 512-aligned
     per-pair width (Mosaic DMA slice rule), 8-aligned rows, and the
@@ -904,21 +915,20 @@ def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):
 
     All pairs share ONE padded shape (max over the batch) so G groups
     stack on a leading axis that shard_map splits across devices; the
-    padding waste buys a single SPMD program with no collectives.
-    Returns None when the uniform shape cannot fit the per-device plane
-    budget -- the caller falls back to the unsharded grouping (which
-    buckets shapes and chunks oversized pairs)."""
+    padding waste buys a single SPMD program with no collectives.  When
+    all the groups' planes exceed one device's HBM plan, the batch runs
+    as SEVERAL sequential shard_map calls of budget-sized chunks (each
+    dispatched before the first host sync so chunks pipeline).  Returns
+    None only when even one group per device cannot fit -- the caller
+    falls back to the unsharded grouping, whose chunked-remat path
+    handles oversized single pairs."""
     import os
 
     from tsta_tpu.ops import psa_pallas
 
     B = len(seq_pairs)
     n_data = mesh.shape["data"]
-    np128 = (max(n_real) + LANES - 1) // LANES * LANES
-    np512 = -(-np128 // 512) * 512
-    # same 512-rounding rule as the unsharded bucket: enables the banded
-    # walk when it costs < 25% padding
-    n_pad = np512 if np512 * 4 <= np128 * 5 else np128
+    n_pad = _traced_n_pad(max(n_real))
     m_pad = -(-max(m_real) // T_R) * T_R
     Rp = n_pad // LANES
     if Rp > S_CAP_TRACED:
@@ -926,28 +936,36 @@ def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):
     P = max(1, min(P_CAP_TRACED, S_CAP_TRACED // Rp, B))
     G = -(-B // P)
     G = -(-G // n_data) * n_data
-    # per-device HBM: G_local groups' planes may be live at once inside
-    # the one jitted program (XLA may overlap independent groups)
-    if 2 * m_pad * P * n_pad * (G // n_data) > psa_pallas._traced_plane_budget():
+    # per-device HBM: all of a call's local groups' planes may be live
+    # at once inside the one jitted program (XLA may overlap independent
+    # groups), so cap groups-per-device per call by the plane budget
+    g_local_max = psa_pallas._traced_plane_budget() // (2 * m_pad * P
+                                                        * n_pad)
+    if g_local_max < 1:
         return None
+    g_call = g_local_max * n_data   # groups per shard_map call
     S = P * Rp
-    a8 = np.full((G, S, LANES), A_PAD, np.uint8)
-    brows8 = np.full((G, m_pad, P), B_PAD, np.uint8)
-    nm = np.zeros((G, P, 2), np.int32)
-    for slot in range(G * P):
-        i = min(slot, B - 1)   # pad slots repeat the last pair
-        g, k = divmod(slot, P)
-        a, b = seq_pairs[i]
-        arow = np.full(n_pad, A_PAD, np.uint8)
-        arow[:n_real[i]] = a
-        a8[g, k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
-        brows8[g, :m_real[i], k] = b
-        nm[g, k] = (n_real[i], m_real[i])
     banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
     spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
     fn = _traced_sharded_call(mesh, n_pad, m_pad, P, p, banded, spec)
-    packed = np.asarray(fn(jnp.asarray(a8), jnp.asarray(brows8),
+    pendings = []
+    for g0 in range(0, G, g_call):
+        Gc = min(g_call, G - g0)
+        a8 = np.full((Gc, S, LANES), A_PAD, np.uint8)
+        brows8 = np.full((Gc, m_pad, P), B_PAD, np.uint8)
+        nm = np.zeros((Gc, P, 2), np.int32)
+        for slot in range(Gc * P):
+            i = min(g0 * P + slot, B - 1)   # pad slots repeat the last pair
+            g, k = divmod(slot, P)
+            a, b = seq_pairs[i]
+            arow = np.full(n_pad, A_PAD, np.uint8)
+            arow[:n_real[i]] = a
+            a8[g, k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
+            brows8[g, :m_real[i], k] = b
+            nm[g, k] = (n_real[i], m_real[i])
+        pendings.append(fn(jnp.asarray(a8), jnp.asarray(brows8),
                            jnp.asarray(nm)))
+    packed = np.concatenate([np.asarray(x) for x in pendings], axis=0)
     return [_emit_packed_row(packed[i // P, i % P], seq_pairs[i][0],
                              seq_pairs[i][1], n_real[i], m_real[i])
             for i in range(B)]
@@ -989,15 +1007,10 @@ def psa_align_batch_traced_packed(seq_pairs, params, mesh=None):
     budget = psa_pallas._traced_plane_budget()
 
     # bucket by padded shape (padding waste in the shared plane is pure
-    # HBM + walk-step cost), largest first within a stable order.  The
-    # bucket rounds n_pad UP to 512 when that costs < 25% padding: the
-    # banded Pallas walk needs n_pad % 512 == 0, and near-miss lengths
-    # (e.g. the 10,000 bp example vs 10,240 bp reads) then share one
-    # group instead of splitting into a lockstep singleton.
+    # HBM + walk-step cost), largest first within a stable order; see
+    # _traced_n_pad for the 512-rounding rationale
     def _bucket(i):
-        np128 = (n_real[i] + LANES - 1) // LANES * LANES
-        np512 = -(-np128 // 512) * 512
-        return np512 if np512 * 4 <= np128 * 5 else np128
+        return _traced_n_pad(n_real[i])
 
     order = sorted(range(B), key=lambda i: (-_bucket(i), -m_real[i]))
     groups = []

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tsta_tpu.config import AlignParams
-from tsta_tpu.io import encode_dna, read_records
+from tsta_tpu.io import encode_dna, read_first_record
 from tsta_tpu.ops import psa_scan
 from tsta_tpu.ops.psa_scan import A_PAD, B_PAD, bucket
 from tsta_tpu.parallel import mesh as meshlib
@@ -244,8 +244,8 @@ def align_manifest(manifest_path: str, params: AlignParams = AlignParams(),
         if store is not None and store.done(name):
             skipped.append(store.get(name))
             continue
-        r1 = next(iter(read_records(f1)), None)
-        r2 = next(iter(read_records(f2)), None)
+        r1 = read_first_record(f1)
+        r2 = read_first_record(f2)
         if r1 is None or r2 is None:
             raise ValueError("manifest pair %r: empty sequence input"
                              % name)
