@@ -208,3 +208,22 @@ def test_read_first_record(tmp_path):
     e = tmp_path / "e.fa"
     e.write_bytes(b"")
     assert read_first_record(e) is None
+
+
+def test_native_size_gate_streams_large_files(tmp_path, monkeypatch):
+    """Files past TSTA_NATIVE_SEQIO_MAX_MB stream with the Python
+    parser (the native engine would hold ~3x the file in memory)."""
+    from tsta_tpu.io import seqio
+    p = tmp_path / "big.fa"
+    p.write_bytes(b">a\n" + b"ACGT" * 500 + b"\n")
+    monkeypatch.setenv("TSTA_NATIVE_SEQIO_MAX_MB", "0.001")  # ~1 KB cap
+    called = []
+    monkeypatch.setattr(seqio, "_parse_native",
+                        lambda d: called.append(1) or ([], None))
+    recs = list(read_records(p))
+    assert not called and recs[0].sequence == b"ACGT" * 500
+    monkeypatch.setenv("TSTA_NATIVE_SEQIO_MAX_MB", "1024")
+    small = tmp_path / "small.fa"
+    small.write_bytes(b">b\nAC\n")
+    list(read_records(small))
+    assert called or seqio._NATIVE_STATE[0] is False

@@ -102,6 +102,21 @@ def _native_enabled() -> bool:
             and os.environ.get("TSTA_NATIVE_SEQIO", "1") not in ("", "0"))
 
 
+def _native_size_ok(path) -> bool:
+    """The native engine reads the whole file and holds ~3x its size
+    (raw bytes + C compaction + record bytes); past a threshold the
+    streaming parser's O(record) memory wins.  Default 1 GiB, tunable
+    via TSTA_NATIVE_SEQIO_MAX_MB; file objects are not size-gated."""
+    if hasattr(path, "read"):
+        return True
+    try:
+        size = os.path.getsize(os.fspath(path))
+    except OSError:
+        return True
+    cap = float(os.environ.get("TSTA_NATIVE_SEQIO_MAX_MB", "1024"))
+    return size <= cap * 2 ** 20
+
+
 def _parse_native(data: bytes) -> tuple:
     """Parse a whole in-memory FASTA/FASTQ buffer with the C parser
     (native/seqio_fast.c) -- the native counterpart of the reference's
@@ -171,7 +186,7 @@ def read_records(path: PathOrFile) -> Iterator[SeqRecord]:
     f = open_seq(path)
     close = not (hasattr(path, "read"))
     try:
-        if _native_enabled():
+        if _native_enabled() and _native_size_ok(path):
             data = f.read()
             try:
                 recs, err = _parse_native(data)
