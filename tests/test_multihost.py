@@ -109,18 +109,22 @@ print("PROC_OK", jax.process_index())
 
 
 @pytest.mark.slow
-def test_two_process_msa_delta_broadcast():
-    """The full multi-host MSA driver on 2 real processes x 2 virtual
-    CPU devices each: round DP column-sharded over the GLOBAL 4-device
-    seq axis, traceback walked segment-by-segment across process
-    boundaries, graph deltas broadcast, and both hosts must converge on
-    output identical to the single-host native engine (round-2 verdict
-    item 4's done-criterion)."""
+@pytest.mark.parametrize("nproc,dev_per_proc", [(2, 2), (4, 1)])
+def test_multi_process_msa_delta_broadcast(nproc, dev_per_proc):
+    """The full multi-host MSA driver on real processes (2 hosts x 2
+    virtual CPU devices, and 4 hosts x 1 device): round DP
+    column-sharded over the GLOBAL 4-device seq axis, traceback walked
+    segment-by-segment across process boundaries, graph deltas
+    broadcast, and every host must converge on output identical to the
+    single-host native engine (round-2 verdict item 4's done-criterion).
+    The 4-process case exercises a real broadcast fan-out (at 2 the
+    broadcast is a single point-to-point pair) and a walk whose
+    (row, state) handoff crosses three process boundaries."""
     prog = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=2")
+                           + " --xla_force_host_platform_device_count=%d")""" % dev_per_proc + r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
@@ -128,7 +132,7 @@ from tsta_tpu.config import AlignParams
 from tsta_tpu.parallel import mesh
 from tsta_tpu.parallel.msa_multihost import align_seqs_multihost
 mesh.maybe_init_distributed()
-assert jax.process_count() == 2, jax.process_count()
+assert jax.process_count() == int(os.environ["TSTA_NUM_PROCESSES"])
 assert len(jax.devices()) == 4, jax.devices()
 
 rng = np.random.default_rng(7)
@@ -154,10 +158,10 @@ print("MSA_OK", jax.process_index(), digest)
 """
     env_base = dict(os.environ)
     env_base.pop("PYTHONPATH", None)
-    env_base["TSTA_COORDINATOR"] = "127.0.0.1:19767"
-    env_base["TSTA_NUM_PROCESSES"] = "2"
+    env_base["TSTA_COORDINATOR"] = "127.0.0.1:%d" % (19767 + nproc)
+    env_base["TSTA_NUM_PROCESSES"] = str(nproc)
     procs = []
-    for pid in (0, 1):
+    for pid in range(nproc):
         env = dict(env_base)
         env["TSTA_PROCESS_ID"] = str(pid)
         procs.append(subprocess.Popen(
@@ -173,7 +177,7 @@ print("MSA_OK", jax.process_index(), digest)
         line = [ln for ln in out.splitlines() if ln.startswith("MSA_OK")]
         assert line, out
         digests.append(line[0].split()[-1])
-    assert digests[0] == digests[1], "hosts diverged: %s" % digests
+    assert len(set(digests)) == 1, "hosts diverged: %s" % digests
 
     # and the multi-host output equals the single-host native engine
     import numpy as np
