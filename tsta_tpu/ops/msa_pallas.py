@@ -160,37 +160,61 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                                       gsem.at[2 * kk + 1]).wait()
 
         # ---- per-pred reduction (first-max-wins, as jnp.argmax) ------
-        hbest = jnp.full((Rp, LANES), NEG32, jnp.int32)
-        hargm = jnp.zeros((Rp, LANES), jnp.int32)
-        ebest = jnp.full((Rp, LANES), NEG32, jnp.int32)
-        eargm = jnp.zeros((Rp, LANES), jnp.int32)
-        eext = jnp.zeros((Rp, LANES), jnp.int32)
-        fill_h = jnp.int32(NEG32)       # max_k Hm1p (diag boundary)
-        fill_arg = jnp.int32(0)         # argmax of the boundary column
-        for kk in range(max_in):
-            pr = preds_ref[kk, i]
-            valid = pmask_ref[kk, i] != 0
-            virt = pr == 0
-            hp = jnp.where(virt, h_virtual, hp_ref[kk])
-            ep = jnp.where(virt, NEG32, ep_ref[kk])
-            if kk == 0:
-                hp = jnp.where(chain, h_carry, hp)
-                ep = jnp.where(chain, e_carry, ep)
-            hp = jnp.where(valid, hp, NEG32)
-            ep = jnp.where(valid, ep, NEG32)
+        def reduce_pred(kk, st, hp, ep):
+            """Fold predecessor kk's H/E rows into the running maxima.
+            Caller guarantees validity (kk=0 masks explicitly; kk>0
+            only runs under the pmask cond below)."""
+            hbest, hargm, ebest, eargm, eext = st
             upd = hp > hbest
             hbest = jnp.maximum(hbest, hp)
             hargm = jnp.where(upd, kk, hargm)
             ec = jnp.maximum(ep + e_, hp + (o_ + e_))
-            ec = jnp.where(valid, ec, NEG32)
             upde = ec > ebest
             ebest = jnp.maximum(ebest, ec)
             eargm = jnp.where(upde, kk, eargm)
             eext = jnp.where(upde, (ep + e_ == ec).astype(jnp.int32),
                              eext)
-            hm1k = jnp.where(valid, hm1p_ref[kk, i], NEG32)
+            return hbest, hargm, ebest, eargm, eext
+
+        # kk = 0 unconditionally (every real node has a first pred; an
+        # invalid slot 0 -- below-ceiling padding rows -- masks to NEG32
+        # so padded rows stay inert as before)
+        pr0 = preds_ref[0, i]
+        valid0 = pmask_ref[0, i] != 0
+        hp0 = jnp.where(pr0 == 0, h_virtual, hp_ref[0])
+        ep0 = jnp.where(pr0 == 0, NEG32, ep_ref[0])
+        hp0 = jnp.where(chain, h_carry, hp0)
+        ep0 = jnp.where(chain, e_carry, ep0)
+        hp0 = jnp.where(valid0, hp0, NEG32)
+        ep0 = jnp.where(valid0, ep0, NEG32)
+        st = reduce_pred(0, (jnp.full((Rp, LANES), NEG32, jnp.int32),
+                             jnp.zeros((Rp, LANES), jnp.int32),
+                             jnp.full((Rp, LANES), NEG32, jnp.int32),
+                             jnp.zeros((Rp, LANES), jnp.int32),
+                             jnp.zeros((Rp, LANES), jnp.int32)),
+                         hp0, ep0)
+        # the E candidate from an invalid slot 0 is h+(o+e) with h=NEG32
+        # -- already the neutral element, matching the old masked form
+        fill_h = jnp.where(valid0, hm1p_ref[0, i], NEG32)
+        fill_arg = jnp.int32(0)         # argmax of the boundary column
+        for kk in range(1, max_in):
+            # ~90% of POA nodes are chain nodes with in-degree 1: skip
+            # the extra preds' ~10 full-width passes on the scalar
+            # pmask instead of running them masked (measured lever:
+            # full-width ops dominate the node body at long reads)
+            def take(st, kk=kk):
+                pr = preds_ref[kk, i]
+                hp = jnp.where(pr == 0, h_virtual, hp_ref[kk])
+                ep = jnp.where(pr == 0, NEG32, ep_ref[kk])
+                return reduce_pred(kk, st, hp, ep)
+
+            st = jax.lax.cond(pmask_ref[kk, i] != 0, take,
+                              lambda st: st, st)
+            hm1k = jnp.where(pmask_ref[kk, i] != 0,
+                             hm1p_ref[kk, i], NEG32)
             fill_arg = jnp.where(hm1k > fill_h, kk, fill_arg)
             fill_h = jnp.maximum(fill_h, hm1k)
+        hbest, hargm, ebest, eargm, eext = st
 
         base = bases_ref[0, i]
         sub = jnp.where(a32 == base, m_, x_)
@@ -208,15 +232,20 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 p, jnp.where(lane_lt[k], NEG32,
                              pltpu.roll(p, shift=k, axis=1)))
             k *= 2
-        t = jnp.maximum(p, y)
+        # cross-segment carry: the sublane prefix tree is column-
+        # separable (axis-0 roll + elementwise max never mixes lanes)
+        # and only lane 127 of its result is consumed, so run it on the
+        # (Rp, 1) lane-127 column -- log2(Rp) single-vreg ops instead of
+        # log2(Rp) full-width passes (49 vregs each at 50 kbp reads).
+        t127 = jnp.maximum(p[:, LANES - 1:LANES], y[:, LANES - 1:LANES])
         k = 1
         while k < Rp:
-            t = jnp.maximum(
-                t, jnp.where(seg_lt[k], NEG32,
-                             pltpu.roll(t, shift=k, axis=0)))
+            t127 = jnp.maximum(
+                t127, jnp.where(seg_lt[k], NEG32,
+                                pltpu.roll(t127, shift=k, axis=0)))
             k *= 2
-        cyt = pltpu.roll(t, shift=1, axis=0)
-        carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
+        carry_seg = jnp.where(srow1 == 0, NEG32,
+                              pltpu.roll(t127, shift=1, axis=0))
         f_row = oColE + jnp.maximum(p, carry_seg)
         h_row = jnp.maximum(c, f_row)
 
