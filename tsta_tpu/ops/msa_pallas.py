@@ -48,6 +48,10 @@ from tsta_tpu.ops.psa_scan import NEG, bucket
 
 LANES = 128
 NEG32 = -(2 ** 28)
+WB = 4     # traceback-word rows staged per HBM flush (divides every
+           # node block: N is bucketed to multiples of 128).  Batching
+           # cuts the per-node DMA issue/wait count, the measured wall
+           # at short reads.
 
 
 def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
@@ -115,19 +119,41 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # the register carry does not cross grid steps or calls: first
         # node of a block always gathers
         chain = jnp.logical_and(chain, i > 0)
-        # wait for the PREVIOUS node's state writes first: a distance-1
-        # multi-pred gather reads the slot they target, so they must
-        # complete before any gather STARTS.  The writes were launched a
-        # full iteration ago, so this wait is normally free.  Gating is
-        # on the LOCAL row: DMAs do not persist across calls, and a new
-        # chunk call's rings are already complete (aliased inputs).
-        @pl.when(il > 0)
-        def _wait_writes():
-            pltpu.make_async_copy(stage16_ref.at[0],
-                                  words_ref.at[jnp.maximum(il - 1, 0)],
-                                  wsem.at[0]).wait()
+        # the previous node's in-flight state write targets ring slot
+        # ig % W.  A gather collides with it only for slot ig % W, and
+        # W > maxdist makes that equivalent to a distance-1 multi-pred
+        # gather (buffer id pr == ig); chain nodes read registers, not
+        # the ring.  Only then wait BEFORE the gathers -- every other
+        # node defers the wait to just before the staging buffer is
+        # overwritten, hiding the write behind the whole vector body.
+        # Gating is on the LOCAL row: DMAs do not persist across calls,
+        # and a new chunk call's rings are already complete (aliased
+        # inputs).
+        dist1 = jnp.bool_(False)
+        for kk in range(max_in):
+            need_k = jnp.logical_and(pmask_ref[kk, i] != 0,
+                                     preds_ref[kk, i] == ig)
+            if kk == 0:
+                need_k = jnp.logical_and(need_k,
+                                         jnp.logical_not(chain))
+            dist1 = jnp.logical_or(dist1, need_k)
+
+        def _wait_state():
             pltpu.make_async_copy(st2_ref, sbuf_ref.at[ig % W],
                                   wsem.at[1]).wait()
+
+        @pl.when(jnp.logical_and(il > 0, dist1))
+        def _wait_state_early():
+            _wait_state()
+
+        # words flush from WB nodes ago: about to reuse staging slot 0
+        # (nothing reads words inside the kernel, so the only hazard is
+        # the staging buffer itself)
+        @pl.when(jnp.logical_and(il >= WB, il % WB == 0))
+        def _wait_words():
+            pltpu.make_async_copy(stage16_ref,
+                                  words_ref.at[pl.ds(il - WB, WB)],
+                                  wsem.at[0]).wait()
 
         # ---- gather predecessor state (ring slots); all DMAs start
         # before any wait so their latencies overlap.  H and E live in
@@ -258,11 +284,24 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # predecessors, c-t-simd.c:451-456).
         word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
             | (eargm << 10)
-        # start both state writes; the NEXT node waits on them
-        # (their latencies overlap each other and the loop tail)
-        stage16_ref[0] = word.astype(jnp.int16)
-        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[il],
-                              wsem.at[0]).start()
+        # stage this node's words; flush WB rows per DMA (per-node DMA
+        # issue/wait cost is the short-read wall -- see module notes)
+        stage16_ref[il % WB] = word.astype(jnp.int16)
+
+        @pl.when(il % WB == WB - 1)
+        def _flush_words():
+            pltpu.make_async_copy(stage16_ref,
+                                  words_ref.at[pl.ds(il - (WB - 1), WB)],
+                                  wsem.at[0]).start()
+
+        # deferred state wait (the common path): the previous write has
+        # had the whole node body to complete; only now is the staging
+        # buffer reused
+        @pl.when(jnp.logical_and(il > 0, jnp.logical_not(dist1)))
+        def _wait_state_late():
+            _wait_state()
+
+        # start the state write; the NEXT node waits on it
         st2_ref[0] = h_row
         st2_ref[1] = e_row
         pltpu.make_async_copy(st2_ref, sbuf_ref.at[(ig + 1) % W],
@@ -279,8 +318,10 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _drain():
+        # NB % WB == 0, so the final node always flushed a full batch
         last = blk * NB + NB - 1
-        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
+        pltpu.make_async_copy(stage16_ref,
+                              words_ref.at[pl.ds(last - (WB - 1), WB)],
                               wsem.at[0]).wait()
         pltpu.make_async_copy(st2_ref,
                               sbuf_ref.at[(chunk_base + last + 1) % W],
@@ -340,9 +381,11 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
         scratch_shapes=[
             pltpu.VMEM((max_in, 2, Rp, LANES), jnp.int32),  # gathered H/E
             pltpu.VMEM((2, Rp, LANES), jnp.int32),        # state staging
-            pltpu.VMEM((1, Rp, LANES), jnp.int16),        # word staging
+            pltpu.VMEM((WB, Rp, LANES), jnp.int16),       # word staging
             pltpu.SemaphoreType.DMA((max_in,)),           # gather sems
             pltpu.SemaphoreType.DMA((2,)),                # write sems
+                                                          # 0: words flush
+                                                          # 1: state ring
         ],
     )(preds, pmask, bases, hm1p, hm1own, scal, a2d, sring)
     return words, scores, sring
