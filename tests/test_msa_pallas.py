@@ -12,7 +12,7 @@ from tsta_tpu.config import AlignParams
 from tsta_tpu.models.poa_graph import PoaGraph
 from tsta_tpu.ops import msa_native, msa_pallas
 from tsta_tpu.ops.msa_native import (_fuse, _merge, _prepare_round,
-                                     _round_dp, _walk_host)
+                                     _round_dp, _walk_host, align_seqs)
 from tsta_tpu.ops.psa_scan import bucket
 
 
@@ -258,3 +258,47 @@ def test_chunked_round_matches_single(monkeypatch):
     assert chunked[0] == ref[0]
     assert chunked[1] == ref[1]
     assert chunked[2] == ref[2]
+
+
+@pytest.mark.slow
+def test_poa_kernel_dma_race_detector(monkeypatch):
+    """Run the POA kernel (single-call AND chunked) under the interpret
+    race detector with adversarial on-wait DMA semantics: a DMA
+    completes only when waited, and any read of bytes with an
+    outstanding un-waited write raises.  This is the only pre-hardware
+    check of the kernel's wait placement (plain interpret mode runs
+    DMAs synchronously and cannot surface a missing wait): the state
+    ring's deferred wait must still order distance-1 multi-pred
+    gathers, and the WB-batched words flushes must complete before
+    their staging slots are reused."""
+    from jax.experimental import pallas as plmod
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig = plmod.pallas_call
+
+    def patched(*a, **k):
+        if k.get("interpret"):
+            k["interpret"] = pltpu.InterpretParams(
+                detect_races=True, dma_execution_mode="on_wait",
+                uninitialized_memory="nan")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(plmod, "pallas_call", patched)
+    params = AlignParams()
+    rng = np.random.default_rng(5)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 400).tobytes()
+    seqs = [base] + [_mutate(rng, base, 0.12) for _ in range(3)]
+
+    out = align_seqs(seqs, params)
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "scan")
+    ref = align_seqs(seqs, params)
+    monkeypatch.delenv("TSTA_MSA_KERNEL")
+    assert out.round_scores == ref.round_scores
+    assert out.rows == ref.rows and out.consensus == ref.consensus
+
+    # chunked path: ring state handed across calls via aliasing
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.002")
+    out_c = align_seqs(seqs, params)
+    monkeypatch.delenv("TSTA_HBM_BUDGET_GB")
+    assert out_c.round_scores == ref.round_scores
+    assert out_c.rows == ref.rows and out_c.consensus == ref.consensus
