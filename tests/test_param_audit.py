@@ -37,11 +37,14 @@ def _run_binary(a: bytes, b: bytes, m, x, e, o) -> int:
     for name, s in (("a", a), ("b", b)):
         with open(os.path.join(td, name + ".fa"), "wb") as f:
             f.write(b">s\n" + s + b"\n")
+    # Generous timeout: the reference binary spins an OpenMP pool and has
+    # been observed to take minutes on a heavily contended machine (one
+    # CI-style flake at 120 s for a 160x160 pair).
     pr = subprocess.run(
         [REF + "/TSTA_psa_notrace", "-M", str(m), "-X", str(x),
          "-E", str(e), "-O", str(o), "-1", td + "/a.fa",
          "-2", td + "/b.fa", "-o", td + "/o.txt"],
-        capture_output=True, text=True, timeout=120)
+        capture_output=True, text=True, timeout=600)
     assert pr.returncode == 0, pr.stderr
     return int(pr.stdout.strip().split("=")[1])
 
