@@ -222,6 +222,22 @@ def test_round_memory_plan(monkeypatch):
         msa_pallas._round_plan(1 << 21, 1 << 20, 1 << 18)
 
 
+def test_round_plan_unsplittable_dead_zone(monkeypatch):
+    """A graph too small to subdivide (N <= one chunk) whose plane is
+    between 0.5x and 0.8x of budget must run single-call, not raise:
+    the chunked path's 2-plane accounting doubled the requirement
+    (found by differential fuzz at tiny TSTA_HBM_BUDGET_GB)."""
+    # 2*N*n = 294912; budget such that 0.5*b < 294912 <= 0.8*b
+    N, n, W = 384, 384, 2
+    budget = 500_000
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", str(budget / 2 ** 30))
+    assert msa_pallas._round_plan(N, n, W) is None
+    # genuinely too big still raises (plane alone exceeds 0.8*budget)
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", str(300_000 / 2 ** 30))
+    with pytest.raises(ValueError, match="compat"):
+        msa_pallas._round_plan(N, n, W)
+
+
 def test_chunked_round_matches_single(monkeypatch):
     """Force the chunked checkpoint/rematerialise path with a tiny HBM
     budget: outputs must be identical to the single-call kernel path

@@ -666,6 +666,19 @@ def _round_plan(N: int, n: int, W: int):
     while 2 * (NC * 2) * n <= budget // 4 and NC * 2 < _next_pow2(N):
         NC *= 2
     nchunks = -(-N // NC)
+    if nchunks <= 1:
+        # cannot subdivide (N <= one chunk): chunking buys nothing and
+        # its 2-plane walk accounting would DOUBLE the requirement --
+        # run single-call if the one plane fits at all (found by
+        # differential fuzz at tiny TSTA_HBM_BUDGET_GB: budgets between
+        # 0.5x and 0.8x of the plane hit a spurious raise)
+        if 2 * N * n + 8 * W * n <= int(0.8 * budget):
+            return None
+        raise ValueError(
+            "native MSA round cannot fit the chip (%d nodes x %d cols, "
+            "ring W=%d, ~%.2f MB plane vs %.2f MB budget); use "
+            "engine='compat' (host-RAM planes) for reads this long"
+            % (N, n, W, 2 * N * n / 2 ** 20, budget / 2 ** 20))
     need = 4 * NC * n + (nchunks + 1) * 8 * W * n
     if need > int(0.8 * budget):
         raise ValueError(
