@@ -101,7 +101,9 @@ print("PROC_OK", jax.process_index())
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=120)
+        # generous: JAX import + rendezvous under a loaded machine has
+        # flaked at ~2 min elsewhere (cf. test_param_audit's binary)
+        out, err = p.communicate(timeout=600)
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, (out, err)
