@@ -48,17 +48,13 @@ from tsta_tpu.ops.psa_scan import NEG, bucket
 
 LANES = 128
 NEG32 = -(2 ** 28)
-WB = 4     # traceback-word rows staged per HBM flush (divides every
-           # node block: N is bucketed to multiples of 128).  Batching
-           # cuts the per-node DMA issue/wait count, the measured wall
-           # at short reads.
 
 
 def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 nreal_ref,
-                a_ref, sin_ref,
-                words_ref, scores_ref, sbuf_ref,
-                sp_ref, st2_ref, stage16_ref,
+                a_ref, hin_ref, ein_ref,
+                words_ref, scores_ref, hbuf_ref, ebuf_ref,
+                hp_ref, ep_ref, stage_ref, stage16_ref, e_stage_ref,
                 gsem, wsem,
                 *, NB, Rp, W, max_in, params):
     # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
@@ -98,7 +94,7 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
     chunk_base = nreal_ref[0, 1]
     corner_mask = col_idx == n_real - 1
     h_virtual = o_ + (col_idx + 1) * e_          # H(-1, j)
-    del sin_ref   # aliased to sbuf_ref (same memory)
+    del hin_ref, ein_ref   # aliased to hbuf_ref/ebuf_ref (same memory)
 
     def shift1(x, fill):
         a1 = pltpu.roll(x, shift=1, axis=1)
@@ -119,46 +115,24 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # the register carry does not cross grid steps or calls: first
         # node of a block always gathers
         chain = jnp.logical_and(chain, i > 0)
-        # the previous node's in-flight state write targets ring slot
-        # ig % W.  A gather collides with it only for slot ig % W, and
-        # W > maxdist makes that equivalent to a distance-1 multi-pred
-        # gather (buffer id pr == ig); chain nodes read registers, not
-        # the ring.  Only then wait BEFORE the gathers -- every other
-        # node defers the wait to just before the staging buffer is
-        # overwritten, hiding the write behind the whole vector body.
-        # Gating is on the LOCAL row: DMAs do not persist across calls,
-        # and a new chunk call's rings are already complete (aliased
-        # inputs).
-        dist1 = jnp.bool_(False)
-        for kk in range(max_in):
-            need_k = jnp.logical_and(pmask_ref[kk, i] != 0,
-                                     preds_ref[kk, i] == ig)
-            if kk == 0:
-                need_k = jnp.logical_and(need_k,
-                                         jnp.logical_not(chain))
-            dist1 = jnp.logical_or(dist1, need_k)
-
-        def _wait_state():
-            pltpu.make_async_copy(st2_ref, sbuf_ref.at[ig % W],
-                                  wsem.at[1]).wait()
-
-        @pl.when(jnp.logical_and(il > 0, dist1))
-        def _wait_state_early():
-            _wait_state()
-
-        # words flush from WB nodes ago: about to reuse staging slot 0
-        # (nothing reads words inside the kernel, so the only hazard is
-        # the staging buffer itself)
-        @pl.when(jnp.logical_and(il >= WB, il % WB == 0))
-        def _wait_words():
-            pltpu.make_async_copy(stage16_ref,
-                                  words_ref.at[pl.ds(il - WB, WB)],
+        # wait for the PREVIOUS node's state writes first: a distance-1
+        # multi-pred gather reads the slot they target, so they must
+        # complete before any gather STARTS.  The writes were launched a
+        # full iteration ago, so this wait is normally free.  Gating is
+        # on the LOCAL row: DMAs do not persist across calls, and a new
+        # chunk call's rings are already complete (aliased inputs).
+        @pl.when(il > 0)
+        def _wait_writes():
+            pltpu.make_async_copy(stage16_ref.at[0],
+                                  words_ref.at[jnp.maximum(il - 1, 0)],
                                   wsem.at[0]).wait()
+            pltpu.make_async_copy(stage_ref.at[0],
+                                  hbuf_ref.at[ig % W], wsem.at[1]).wait()
+            pltpu.make_async_copy(e_stage_ref.at[0],
+                                  ebuf_ref.at[ig % W], wsem.at[2]).wait()
 
         # ---- gather predecessor state (ring slots); all DMAs start
-        # before any wait so their latencies overlap.  H and E live in
-        # one (W, 2, Rp, LANES) ring so each pred is ONE DMA (the
-        # per-node fixed DMA cost is a measured wall at short reads) --
+        # before any wait so their latencies overlap ------------------
         for kk in range(max_in):
             pr = preds_ref[kk, i]                 # buffer id; 0 = virtual
             need = jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0)
@@ -167,8 +141,10 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
             @pl.when(need)
             def _start(kk=kk, pr=pr):
-                pltpu.make_async_copy(sbuf_ref.at[pr % W], sp_ref.at[kk],
-                                      gsem.at[kk]).start()
+                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
+                                      gsem.at[2 * kk]).start()
+                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
+                                      gsem.at[2 * kk + 1]).start()
 
         for kk in range(max_in):
             pr = preds_ref[kk, i]
@@ -178,65 +154,43 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
             @pl.when(need)
             def _wait(kk=kk, pr=pr):
-                pltpu.make_async_copy(sbuf_ref.at[pr % W], sp_ref.at[kk],
-                                      gsem.at[kk]).wait()
+                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
+                                      gsem.at[2 * kk]).wait()
+                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
+                                      gsem.at[2 * kk + 1]).wait()
 
         # ---- per-pred reduction (first-max-wins, as jnp.argmax) ------
-        def reduce_pred(kk, st, hp, ep):
-            """Fold predecessor kk's H/E rows into the running maxima.
-            Caller guarantees validity (kk=0 masks explicitly; kk>0
-            only runs under the pmask cond below)."""
-            hbest, hargm, ebest, eargm, eext = st
+        hbest = jnp.full((Rp, LANES), NEG32, jnp.int32)
+        hargm = jnp.zeros((Rp, LANES), jnp.int32)
+        ebest = jnp.full((Rp, LANES), NEG32, jnp.int32)
+        eargm = jnp.zeros((Rp, LANES), jnp.int32)
+        eext = jnp.zeros((Rp, LANES), jnp.int32)
+        fill_h = jnp.int32(NEG32)       # max_k Hm1p (diag boundary)
+        fill_arg = jnp.int32(0)         # argmax of the boundary column
+        for kk in range(max_in):
+            pr = preds_ref[kk, i]
+            valid = pmask_ref[kk, i] != 0
+            virt = pr == 0
+            hp = jnp.where(virt, h_virtual, hp_ref[kk])
+            ep = jnp.where(virt, NEG32, ep_ref[kk])
+            if kk == 0:
+                hp = jnp.where(chain, h_carry, hp)
+                ep = jnp.where(chain, e_carry, ep)
+            hp = jnp.where(valid, hp, NEG32)
+            ep = jnp.where(valid, ep, NEG32)
             upd = hp > hbest
             hbest = jnp.maximum(hbest, hp)
             hargm = jnp.where(upd, kk, hargm)
             ec = jnp.maximum(ep + e_, hp + (o_ + e_))
+            ec = jnp.where(valid, ec, NEG32)
             upde = ec > ebest
             ebest = jnp.maximum(ebest, ec)
             eargm = jnp.where(upde, kk, eargm)
             eext = jnp.where(upde, (ep + e_ == ec).astype(jnp.int32),
                              eext)
-            return hbest, hargm, ebest, eargm, eext
-
-        # kk = 0 unconditionally (every real node has a first pred; an
-        # invalid slot 0 -- below-ceiling padding rows -- masks to NEG32
-        # so padded rows stay inert as before)
-        pr0 = preds_ref[0, i]
-        valid0 = pmask_ref[0, i] != 0
-        hp0 = jnp.where(pr0 == 0, h_virtual, sp_ref[0, 0])
-        ep0 = jnp.where(pr0 == 0, NEG32, sp_ref[0, 1])
-        hp0 = jnp.where(chain, h_carry, hp0)
-        ep0 = jnp.where(chain, e_carry, ep0)
-        hp0 = jnp.where(valid0, hp0, NEG32)
-        ep0 = jnp.where(valid0, ep0, NEG32)
-        st = reduce_pred(0, (jnp.full((Rp, LANES), NEG32, jnp.int32),
-                             jnp.zeros((Rp, LANES), jnp.int32),
-                             jnp.full((Rp, LANES), NEG32, jnp.int32),
-                             jnp.zeros((Rp, LANES), jnp.int32),
-                             jnp.zeros((Rp, LANES), jnp.int32)),
-                         hp0, ep0)
-        # the E candidate from an invalid slot 0 is h+(o+e) with h=NEG32
-        # -- already the neutral element, matching the old masked form
-        fill_h = jnp.where(valid0, hm1p_ref[0, i], NEG32)
-        fill_arg = jnp.int32(0)         # argmax of the boundary column
-        for kk in range(1, max_in):
-            # ~90% of POA nodes are chain nodes with in-degree 1: skip
-            # the extra preds' ~10 full-width passes on the scalar
-            # pmask instead of running them masked (measured lever:
-            # full-width ops dominate the node body at long reads)
-            def take(st, kk=kk):
-                pr = preds_ref[kk, i]
-                hp = jnp.where(pr == 0, h_virtual, sp_ref[kk, 0])
-                ep = jnp.where(pr == 0, NEG32, sp_ref[kk, 1])
-                return reduce_pred(kk, st, hp, ep)
-
-            st = jax.lax.cond(pmask_ref[kk, i] != 0, take,
-                              lambda st: st, st)
-            hm1k = jnp.where(pmask_ref[kk, i] != 0,
-                             hm1p_ref[kk, i], NEG32)
+            hm1k = jnp.where(valid, hm1p_ref[kk, i], NEG32)
             fill_arg = jnp.where(hm1k > fill_h, kk, fill_arg)
             fill_h = jnp.maximum(fill_h, hm1k)
-        hbest, hargm, ebest, eargm, eext = st
 
         base = bases_ref[0, i]
         sub = jnp.where(a32 == base, m_, x_)
@@ -254,20 +208,15 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 p, jnp.where(lane_lt[k], NEG32,
                              pltpu.roll(p, shift=k, axis=1)))
             k *= 2
-        # cross-segment carry: the sublane prefix tree is column-
-        # separable (axis-0 roll + elementwise max never mixes lanes)
-        # and only lane 127 of its result is consumed, so run it on the
-        # (Rp, 1) lane-127 column -- log2(Rp) single-vreg ops instead of
-        # log2(Rp) full-width passes (49 vregs each at 50 kbp reads).
-        t127 = jnp.maximum(p[:, LANES - 1:LANES], y[:, LANES - 1:LANES])
+        t = jnp.maximum(p, y)
         k = 1
         while k < Rp:
-            t127 = jnp.maximum(
-                t127, jnp.where(seg_lt[k], NEG32,
-                                pltpu.roll(t127, shift=k, axis=0)))
+            t = jnp.maximum(
+                t, jnp.where(seg_lt[k], NEG32,
+                             pltpu.roll(t, shift=k, axis=0)))
             k *= 2
-        carry_seg = jnp.where(srow1 == 0, NEG32,
-                              pltpu.roll(t127, shift=1, axis=0))
+        cyt = pltpu.roll(t, shift=1, axis=0)
+        carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
         f_row = oColE + jnp.maximum(p, carry_seg)
         h_row = jnp.maximum(c, f_row)
 
@@ -284,28 +233,19 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # predecessors, c-t-simd.c:451-456).
         word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
             | (eargm << 10)
-        # stage this node's words; flush WB rows per DMA (per-node DMA
-        # issue/wait cost is the short-read wall -- see module notes)
-        stage16_ref[il % WB] = word.astype(jnp.int16)
-
-        @pl.when(il % WB == WB - 1)
-        def _flush_words():
-            pltpu.make_async_copy(stage16_ref,
-                                  words_ref.at[pl.ds(il - (WB - 1), WB)],
-                                  wsem.at[0]).start()
-
-        # deferred state wait (the common path): the previous write has
-        # had the whole node body to complete; only now is the staging
-        # buffer reused
-        @pl.when(jnp.logical_and(il > 0, jnp.logical_not(dist1)))
-        def _wait_state_late():
-            _wait_state()
-
-        # start the state write; the NEXT node waits on it
-        st2_ref[0] = h_row
-        st2_ref[1] = e_row
-        pltpu.make_async_copy(st2_ref, sbuf_ref.at[(ig + 1) % W],
+        # start all three state writes; the NEXT node waits on them
+        # (their latencies overlap each other and the loop tail)
+        stage16_ref[0] = word.astype(jnp.int16)
+        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[il],
+                              wsem.at[0]).start()
+        stage_ref[0] = h_row
+        pltpu.make_async_copy(stage_ref.at[0],
+                              hbuf_ref.at[(ig + 1) % W],
                               wsem.at[1]).start()
+        e_stage_ref[0] = e_row
+        pltpu.make_async_copy(e_stage_ref.at[0],
+                              ebuf_ref.at[(ig + 1) % W],
+                              wsem.at[2]).start()
 
         # sink score at column n_real-1
         scores_ref[0, i] = jnp.max(
@@ -318,34 +258,33 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _drain():
-        # NB % WB == 0, so the final node always flushed a full batch
         last = blk * NB + NB - 1
-        pltpu.make_async_copy(stage16_ref,
-                              words_ref.at[pl.ds(last - (WB - 1), WB)],
+        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
                               wsem.at[0]).wait()
-        pltpu.make_async_copy(st2_ref,
-                              sbuf_ref.at[(chunk_base + last + 1) % W],
+        pltpu.make_async_copy(stage_ref.at[0],
+                              hbuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[1]).wait()
+        pltpu.make_async_copy(e_stage_ref.at[0],
+                              ebuf_ref.at[(chunk_base + last + 1) % W],
+                              wsem.at[2]).wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("N", "n", "W", "max_in", "params"))
 def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
-                    sring, N, n, W, max_in, params):
+                    hring, ering, N, n, W, max_in, params):
     """One node-chunk of a round's DP (the whole round when unchunked).
 
     preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
     scal: (1, 2) i32 = [n_real, chunk_base]; a2d: (Rp, 128) i32;
-    sring: (W, 2, Rp, LANES) i32 combined H/E state ring (slot s =
-    [H, E] for ring row s -- one ring so every gather and every state
-    write is a single DMA), ALIASED to the ring output so state carries
-    across chunk calls in place.  Scalar tables stream per NB-node
-    block through the (sequential) grid."""
+    hring/ering: (W, Rp, LANES) i32 H/E state rings, ALIASED to the ring
+    outputs so state carries across chunk calls in place.  Scalar tables
+    stream per NB-node block through the (sequential) grid."""
     Rp = n // LANES
     NB = _node_block(N)
     kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
                                max_in=max_in, params=params)
-    words, scores, sring = pl.pallas_call(
+    words, scores, hring, ering = pl.pallas_call(
         kernel,
         grid=(N // NB,),
         interpret=jax.default_backend() != "tpu",
@@ -364,44 +303,47 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
                          memory_space=pltpu.SMEM),    # [n_real, base]
             pl.BlockSpec((Rp, LANES), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),    # a chars
-            pl.BlockSpec(memory_space=pl.ANY),        # state ring in
+            pl.BlockSpec(memory_space=pl.ANY),        # H ring in
+            pl.BlockSpec(memory_space=pl.ANY),        # E ring in
         ],
         out_shape=(
             jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int16),  # words
             jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
-            jax.ShapeDtypeStruct((W, 2, Rp, LANES), jnp.int32),  # ring
+            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # H ring
+            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # E ring
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, NB), lambda b: (0, b),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
-        input_output_aliases={7: 2},
+        input_output_aliases={7: 2, 8: 3},
         scratch_shapes=[
-            pltpu.VMEM((max_in, 2, Rp, LANES), jnp.int32),  # gathered H/E
-            pltpu.VMEM((2, Rp, LANES), jnp.int32),        # state staging
-            pltpu.VMEM((WB, Rp, LANES), jnp.int16),       # word staging
-            pltpu.SemaphoreType.DMA((max_in,)),           # gather sems
-            pltpu.SemaphoreType.DMA((2,)),                # write sems
-                                                          # 0: words flush
-                                                          # 1: state ring
+            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
+            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # H staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int16),        # word staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # E staging
+            pltpu.SemaphoreType.DMA((2 * max_in,)),       # gather sems
+            pltpu.SemaphoreType.DMA((3,)),                # write sems
         ],
-    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, sring)
-    return words, scores, sring
+    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, hring, ering)
+    return words, scores, hring, ering
 
 
 def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
                     N, n, W, max_in, params):
-    """Single-call round (graph fits one words plane): zero ring in,
+    """Single-call round (graph fits one words plane): zero rings in,
     chunk_base 0."""
     Rp = n // LANES
-    zero = jnp.zeros((W, 2, Rp, LANES), jnp.int32)
+    zero = jnp.zeros((W, Rp, LANES), jnp.int32)
     scal = jnp.concatenate(
         [nreal.astype(jnp.int32),
          jnp.zeros((1, 1), jnp.int32)], axis=1)
-    words, scores, _ = _poa_chunk_call(
-        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero,
+    words, scores, _, _ = _poa_chunk_call(
+        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero, zero,
         N, n, W, max_in, params)
     return words, scores
 
@@ -761,18 +703,19 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         hm1own = np.concatenate(
             [hm1own, np.full((1, pad), NEG32, hm1own.dtype)], axis=1)
     Rp = n // LANES
-    sring = jnp.zeros((W, 2, Rp, LANES), jnp.int32)
+    hring = jnp.zeros((W, Rp, LANES), jnp.int32)
+    ering = jnp.zeros((W, Rp, LANES), jnp.int32)
     snaps = []          # ring state at each chunk's ENTRY
     score_parts = []
     words_last = None
     for c in range(nchunks):
-        snaps.append(sring)
+        snaps.append((hring, ering))
         sl = slice(c * NC, (c + 1) * NC)
         scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-        words_c, sc, sring = _poa_chunk_call(
+        words_c, sc, hring, ering = _poa_chunk_call(
             jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
             jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-            jnp.asarray(hm1own[:, sl]), scal, a2d, sring,
+            jnp.asarray(hm1own[:, sl]), scal, a2d, hring, ering,
             NC, n, W, max_in, p)
         score_parts.append(sc)
         words_last = words_c if c == nchunks - 1 else None
@@ -796,12 +739,13 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         if c == nchunks - 1 and words_last is not None:
             words_c = words_last
         else:
+            h0, e0 = snaps[c]
             sl = slice(c * NC, (c + 1) * NC)
             scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-            words_c, _, _ = _poa_chunk_call(
+            words_c, _, _, _ = _poa_chunk_call(
                 jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
                 jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-                jnp.asarray(hm1own[:, sl]), scal, a2d, snaps[c],
+                jnp.asarray(hm1own[:, sl]), scal, a2d, h0, e0,
                 NC, n, W, max_in, p)
         row_d, j_d, state_d, align = _walk_bounded(
             words_c, preds_dev, jnp.int32(row), jnp.int32(j),
