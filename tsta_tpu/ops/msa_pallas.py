@@ -17,8 +17,11 @@ docstring; tie-breaking replicated bit-for-bit):
   blocks promoted only when they cross blocks, c-t-simd.c:580-598).
   State lives in an HBM ring of W slots, W = next power of two above
   the round's maximum topo pred distance; memory is O(W x n), not
-  O(N x n).  The virtual boundary row (H(-1,j) = o+(j+1)e) is computed
-  analytically, never stored.
+  O(N x n).  H and E stack inside ONE slot (H rows [:Rp], E rows
+  [Rp:]) so every pred gather and every state write is a single DMA
+  issue+wait -- at short reads the per-node DMA issue overhead, not
+  the DP arithmetic, dominates the node body.  The virtual boundary
+  row (H(-1,j) = o+(j+1)e) is computed analytically, never stored.
 * **Scalar-prefetched predecessors.**  preds/pmask/bases/hm1 sit in
   SMEM; per node the kernel DMA-gathers the <= max_in predecessor
   (H,E) slots HBM->VMEM, reduces them with first-max-wins argmax
@@ -52,9 +55,9 @@ NEG32 = -(2 ** 28)
 
 def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 nreal_ref,
-                a_ref, hin_ref, ein_ref,
-                words_ref, scores_ref, hbuf_ref, ebuf_ref,
-                hp_ref, ep_ref, stage_ref, stage16_ref, e_stage_ref,
+                a_ref, sin_ref,
+                words_ref, scores_ref, sbuf_ref,
+                sp_ref, stage_ref, stage16_ref,
                 gsem, wsem,
                 *, NB, Rp, W, max_in, params):
     # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
@@ -94,7 +97,7 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
     chunk_base = nreal_ref[0, 1]
     corner_mask = col_idx == n_real - 1
     h_virtual = o_ + (col_idx + 1) * e_          # H(-1, j)
-    del hin_ref, ein_ref   # aliased to hbuf_ref/ebuf_ref (same memory)
+    del sin_ref   # aliased to sbuf_ref (same memory)
 
     def shift1(x, fill):
         a1 = pltpu.roll(x, shift=1, axis=1)
@@ -127,12 +130,14 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                                   words_ref.at[jnp.maximum(il - 1, 0)],
                                   wsem.at[0]).wait()
             pltpu.make_async_copy(stage_ref.at[0],
-                                  hbuf_ref.at[ig % W], wsem.at[1]).wait()
-            pltpu.make_async_copy(e_stage_ref.at[0],
-                                  ebuf_ref.at[ig % W], wsem.at[2]).wait()
+                                  sbuf_ref.at[ig % W], wsem.at[1]).wait()
 
         # ---- gather predecessor state (ring slots); all DMAs start
-        # before any wait so their latencies overlap ------------------
+        # before any wait so their latencies overlap.  H and E live
+        # stacked in ONE ring slot (H rows [:Rp], E rows [Rp:]), so each
+        # pred costs a single DMA issue+wait instead of two (kernel diet
+        # item c: at short reads the per-node DMA issue overhead, not
+        # the DP arithmetic, dominates the node body). -----------------
         for kk in range(max_in):
             pr = preds_ref[kk, i]                 # buffer id; 0 = virtual
             need = jnp.logical_and(pmask_ref[kk, i] != 0, pr > 0)
@@ -141,10 +146,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
             @pl.when(need)
             def _start(kk=kk, pr=pr):
-                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
-                                      gsem.at[2 * kk]).start()
-                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
-                                      gsem.at[2 * kk + 1]).start()
+                pltpu.make_async_copy(sbuf_ref.at[pr % W], sp_ref.at[kk],
+                                      gsem.at[kk]).start()
 
         for kk in range(max_in):
             pr = preds_ref[kk, i]
@@ -154,10 +157,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
             @pl.when(need)
             def _wait(kk=kk, pr=pr):
-                pltpu.make_async_copy(hbuf_ref.at[pr % W], hp_ref.at[kk],
-                                      gsem.at[2 * kk]).wait()
-                pltpu.make_async_copy(ebuf_ref.at[pr % W], ep_ref.at[kk],
-                                      gsem.at[2 * kk + 1]).wait()
+                pltpu.make_async_copy(sbuf_ref.at[pr % W], sp_ref.at[kk],
+                                      gsem.at[kk]).wait()
 
         # ---- per-pred reduction (first-max-wins, as jnp.argmax) ------
         hbest = jnp.full((Rp, LANES), NEG32, jnp.int32)
@@ -171,8 +172,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
             pr = preds_ref[kk, i]
             valid = pmask_ref[kk, i] != 0
             virt = pr == 0
-            hp = jnp.where(virt, h_virtual, hp_ref[kk])
-            ep = jnp.where(virt, NEG32, ep_ref[kk])
+            hp = jnp.where(virt, h_virtual, sp_ref[kk, :Rp])
+            ep = jnp.where(virt, NEG32, sp_ref[kk, Rp:])
             if kk == 0:
                 hp = jnp.where(chain, h_carry, hp)
                 ep = jnp.where(chain, e_carry, ep)
@@ -233,19 +234,17 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # predecessors, c-t-simd.c:451-456).
         word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
             | (eargm << 10)
-        # start all three state writes; the NEXT node waits on them
-        # (their latencies overlap each other and the loop tail)
+        # start both state writes; the NEXT node waits on them
+        # (their latencies overlap each other and the loop tail).  H and
+        # E stage into one buffer so the ring write is a single DMA.
         stage16_ref[0] = word.astype(jnp.int16)
         pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[il],
                               wsem.at[0]).start()
-        stage_ref[0] = h_row
+        stage_ref[0, :Rp] = h_row
+        stage_ref[0, Rp:] = e_row
         pltpu.make_async_copy(stage_ref.at[0],
-                              hbuf_ref.at[(ig + 1) % W],
+                              sbuf_ref.at[(ig + 1) % W],
                               wsem.at[1]).start()
-        e_stage_ref[0] = e_row
-        pltpu.make_async_copy(e_stage_ref.at[0],
-                              ebuf_ref.at[(ig + 1) % W],
-                              wsem.at[2]).start()
 
         # sink score at column n_real-1
         scores_ref[0, i] = jnp.max(
@@ -262,29 +261,27 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
                               wsem.at[0]).wait()
         pltpu.make_async_copy(stage_ref.at[0],
-                              hbuf_ref.at[(chunk_base + last + 1) % W],
+                              sbuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[1]).wait()
-        pltpu.make_async_copy(e_stage_ref.at[0],
-                              ebuf_ref.at[(chunk_base + last + 1) % W],
-                              wsem.at[2]).wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("N", "n", "W", "max_in", "params"))
 def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
-                    hring, ering, N, n, W, max_in, params):
+                    ring, N, n, W, max_in, params):
     """One node-chunk of a round's DP (the whole round when unchunked).
 
     preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
     scal: (1, 2) i32 = [n_real, chunk_base]; a2d: (Rp, 128) i32;
-    hring/ering: (W, Rp, LANES) i32 H/E state rings, ALIASED to the ring
-    outputs so state carries across chunk calls in place.  Scalar tables
-    stream per NB-node block through the (sequential) grid."""
+    ring: (W, 2*Rp, LANES) i32 state ring (H rows [:Rp], E rows [Rp:]
+    per slot, so gathers and writes are one DMA each), ALIASED to the
+    ring output so state carries across chunk calls in place.  Scalar
+    tables stream per NB-node block through the (sequential) grid."""
     Rp = n // LANES
     NB = _node_block(N)
     kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
                                max_in=max_in, params=params)
-    words, scores, hring, ering = pl.pallas_call(
+    words, scores, ring = pl.pallas_call(
         kernel,
         grid=(N // NB,),
         interpret=jax.default_backend() != "tpu",
@@ -303,34 +300,29 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
                          memory_space=pltpu.SMEM),    # [n_real, base]
             pl.BlockSpec((Rp, LANES), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),    # a chars
-            pl.BlockSpec(memory_space=pl.ANY),        # H ring in
-            pl.BlockSpec(memory_space=pl.ANY),        # E ring in
+            pl.BlockSpec(memory_space=pl.ANY),        # state ring in
         ],
         out_shape=(
             jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int16),  # words
             jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
-            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # H ring
-            jax.ShapeDtypeStruct((W, Rp, LANES), jnp.int32),  # E ring
+            jax.ShapeDtypeStruct((W, 2 * Rp, LANES), jnp.int32),  # ring
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, NB), lambda b: (0, b),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ),
-        input_output_aliases={7: 2, 8: 3},
+        input_output_aliases={7: 2},
         scratch_shapes=[
-            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered H
-            pltpu.VMEM((max_in, Rp, LANES), jnp.int32),   # gathered E
-            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # H staging
-            pltpu.VMEM((1, Rp, LANES), jnp.int16),        # word staging
-            pltpu.VMEM((1, Rp, LANES), jnp.int32),        # E staging
-            pltpu.SemaphoreType.DMA((2 * max_in,)),       # gather sems
-            pltpu.SemaphoreType.DMA((3,)),                # write sems
+            pltpu.VMEM((max_in, 2 * Rp, LANES), jnp.int32),  # gathered H+E
+            pltpu.VMEM((1, 2 * Rp, LANES), jnp.int32),       # state staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int16),           # word staging
+            pltpu.SemaphoreType.DMA((max_in,)),              # gather sems
+            pltpu.SemaphoreType.DMA((2,)),                   # write sems
         ],
-    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, hring, ering)
-    return words, scores, hring, ering
+    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, ring)
+    return words, scores, ring
 
 
 def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
@@ -338,12 +330,12 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
     """Single-call round (graph fits one words plane): zero rings in,
     chunk_base 0."""
     Rp = n // LANES
-    zero = jnp.zeros((W, Rp, LANES), jnp.int32)
+    zero = jnp.zeros((W, 2 * Rp, LANES), jnp.int32)
     scal = jnp.concatenate(
         [nreal.astype(jnp.int32),
          jnp.zeros((1, 1), jnp.int32)], axis=1)
-    words, scores, _, _ = _poa_chunk_call(
-        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero, zero,
+    words, scores, _ = _poa_chunk_call(
+        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero,
         N, n, W, max_in, params)
     return words, scores
 
@@ -703,19 +695,18 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         hm1own = np.concatenate(
             [hm1own, np.full((1, pad), NEG32, hm1own.dtype)], axis=1)
     Rp = n // LANES
-    hring = jnp.zeros((W, Rp, LANES), jnp.int32)
-    ering = jnp.zeros((W, Rp, LANES), jnp.int32)
+    ring = jnp.zeros((W, 2 * Rp, LANES), jnp.int32)
     snaps = []          # ring state at each chunk's ENTRY
     score_parts = []
     words_last = None
     for c in range(nchunks):
-        snaps.append((hring, ering))
+        snaps.append(ring)
         sl = slice(c * NC, (c + 1) * NC)
         scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-        words_c, sc, hring, ering = _poa_chunk_call(
+        words_c, sc, ring = _poa_chunk_call(
             jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
             jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-            jnp.asarray(hm1own[:, sl]), scal, a2d, hring, ering,
+            jnp.asarray(hm1own[:, sl]), scal, a2d, ring,
             NC, n, W, max_in, p)
         score_parts.append(sc)
         words_last = words_c if c == nchunks - 1 else None
@@ -739,13 +730,13 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         if c == nchunks - 1 and words_last is not None:
             words_c = words_last
         else:
-            h0, e0 = snaps[c]
+            s0 = snaps[c]
             sl = slice(c * NC, (c + 1) * NC)
             scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-            words_c, _, _, _ = _poa_chunk_call(
+            words_c, _, _ = _poa_chunk_call(
                 jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
                 jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-                jnp.asarray(hm1own[:, sl]), scal, a2d, h0, e0,
+                jnp.asarray(hm1own[:, sl]), scal, a2d, s0,
                 NC, n, W, max_in, p)
         row_d, j_d, state_d, align = _walk_bounded(
             words_c, preds_dev, jnp.int32(row), jnp.int32(j),
