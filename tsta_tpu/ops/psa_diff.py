@@ -415,7 +415,10 @@ def _abs_kernel(b_ref, a_ref, *refs,
         return jnp.where(origin, fill, res)
 
     def row_body(r, carry):
-        h_prev, e_prev, best = carry
+        if traced:
+            h_prev, e_prev, best, pword = carry
+        else:
+            h_prev, e_prev, best = carry
         i = blk * t_b + r
 
         bv = jnp.zeros((S, 1), jnp.int32)
@@ -498,12 +501,30 @@ def _abs_kernel(b_ref, a_ref, *refs,
             e_tie = e_row + e_ == h_row + (o_ + e_)
             ecode = jnp.where(e_open, jnp.where(e_tie, two, one),
                               jnp.int32(0))
-            plane_ref[r] = (back * 9 + fcode * 3 + ecode).astype(jnp.int8)
+            # the plane ships as int32 WORDS of 4 consecutive ROWS
+            # (byte k of word w = row 4w+k's code): one shift+OR per
+            # row in registers here saves the walk a 35 ms (measured,
+            # r4) int8->int32 relayout of the whole plane -- TPU
+            # bitcast_convert_type is a physical retiling, not a view
+            code = back * 9 + fcode * 3 + ecode
+            pword = jnp.where((r & 3) == 0, code,
+                              pword | (code << (8 * (r & 3))))
 
+            @pl.when((r & 3) == 3)
+            def _flush():
+                plane_ref[r >> 2] = pword
+
+            return h_row, e_row, best, pword
         return h_row, e_row, best
 
-    h_fin, e_fin, best_fin = jax.lax.fori_loop(
-        0, t_b, row_body, (h_ref[:], e_ref[:], best_ref[:]))
+    carry0 = (h_ref[:], e_ref[:], best_ref[:])
+    if traced:
+        carry0 = carry0 + (jnp.zeros((S, LANES), jnp.int32),)
+        h_fin, e_fin, best_fin, _ = jax.lax.fori_loop(
+            0, t_b, row_body, carry0)
+    else:
+        h_fin, e_fin, best_fin = jax.lax.fori_loop(
+            0, t_b, row_body, carry0)
     h_ref[:] = h_fin
     e_ref[:] = e_fin
     best_ref[:] = best_fin
@@ -761,9 +782,11 @@ def _traced_t_b(S):
                    static_argnames=("n_pad", "m_pad", "P", "params"))
 def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
     """Packed traced kernel: ONE group of P pairs; emits per-pair scores,
-    corners and the packed int8 traceback plane (m_pad, S, LANES) with
-    pair p's row i at plane[i, p*Rp:(p+1)*Rp, :].ravel().  Corner masks
-    and row flags derive from ``nm`` inside the kernel."""
+    corners and the packed traceback plane as int32 WORDS of 4 rows
+    each, shape (m_pad // 4, S, LANES): byte k of plane[w, s, l] is the
+    ``back*9 + f*3 + e`` code of row 4w+k at packed column (s, l) (pair
+    p's columns are s in [p*Rp, (p+1)*Rp)).  Corner masks and row flags
+    derive from ``nm`` inside the kernel."""
     Rp = n_pad // LANES
     S = P * Rp
     t_b = _traced_t_b(S)
@@ -785,12 +808,13 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
         out_shape=(
             jax.ShapeDtypeStruct((1, P), jnp.int32),            # scores
             jax.ShapeDtypeStruct((1, P), jnp.int32),            # corners
-            jax.ShapeDtypeStruct((m_pad, S, LANES), jnp.int8),  # plane
+            jax.ShapeDtypeStruct((m_pad // 4, S, LANES),
+                                 jnp.int32),            # plane words
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_b, S, LANES), lambda g, i: (i, 0, 0),
+            pl.BlockSpec((t_b // 4, S, LANES), lambda g, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -815,20 +839,17 @@ def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
         a8.astype(jnp.int32), brows8.astype(jnp.int32), nm,
         n_pad, m_pad, P, params)
     if banded:
-        moves, counts = tb._decode_moves_banded_packed(plane, nm,
+        words, counts = tb._decode_moves_banded_packed(plane, nm,
                                                        n_pad // LANES,
                                                        spec)
     else:
         moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
+        words = tb.pack_moves_words(moves)
     # ONE device->host transfer per group: [score, corner, count,
-    # moves-packed-4-per-word...] per row -- each extra read through the
-    # tunnel pays the ~30 ms RTT (cf. psa_pallas._traced_finish)
-    maxlen = moves.shape[1] - moves.shape[1] % 4
-    packed = jax.lax.bitcast_convert_type(
-        moves[:, :maxlen].reshape(moves.shape[0], maxlen // 4, 4),
-        jnp.int32)
+    # moves-packed-16-per-word...] per row -- each extra read through
+    # the tunnel pays the ~30 ms RTT (cf. psa_pallas._traced_finish)
     header = jnp.stack([scores[0], corners[0], counts], axis=1)
-    return jnp.concatenate([header, packed], axis=1)
+    return jnp.concatenate([header, words], axis=1)
 
 
 @functools.partial(jax.jit,
@@ -879,12 +900,12 @@ def _traced_sharded_call(mesh, n_pad, m_pad, P, params, banded, spec):
 
 
 def _emit_packed_row(row, a, b, n, m):
-    """Decode one pair's packed int32 result row into (score, corner,
-    Alignment)."""
+    """Decode one pair's packed int32 result row ([score, corner,
+    count, 2-bit move words...]) into (score, corner, Alignment)."""
     from tsta_tpu.ops import traceback as tb
     count = int(row[2])
-    moves = row[3:3 + -(-count // 4)].tobytes()[:count]
-    aln = tb.emit_alignment(np.frombuffer(moves, np.int8), a, b, n, m)
+    moves = tb.unpack_moves(row[3:], count)
+    aln = tb.emit_alignment(moves, a, b, n, m)
     return (int(row[0]), int(row[1]), aln)
 
 
@@ -901,13 +922,22 @@ def _traced_n_pad(n_max):
 
 def _banded_walk_gate(Rp, m_pad, P, n_pad):
     """Shared gate for the grid-(P,) banded Pallas walk: 512-aligned
-    per-pair width (Mosaic DMA slice rule), 8-aligned rows, and the
-    (P, m+n) int32 SMEM move-list budget.  TSTA_BANDED_WALK=0 opts out
-    (the lockstep XLA gather walk is the fallback either way)."""
+    per-pair width, 8-aligned rows (32-aligned once taller than the
+    band so word-row window starts stay provably 8-aligned), aligned
+    segment windows (S <= _BAND_WS or S % 8 == 0), and the packed
+    (P, (m+n)/16) int32 SMEM move-word budget (the r4 2-bit packing
+    shrank this 16x, so the cap that used to push long-pair groups
+    onto the lockstep XLA walk is now ~2.6 Mbp of batch moves).
+    TSTA_BANDED_WALK=0 opts out (the lockstep XLA gather walk is the
+    fallback either way)."""
     import os
+    from tsta_tpu.ops import traceback as tb
+    S = P * Rp
     return (os.environ.get("TSTA_BANDED_WALK", "1") not in ("", "0")
             and Rp % 4 == 0 and m_pad % 8 == 0 and m_pad >= 24
-            and P * (m_pad + n_pad) * 4 <= 640 * 1024)
+            and (m_pad // 4 <= tb._BAND_RW or m_pad % 32 == 0)
+            and (S <= tb._BAND_WS or S % 8 == 0)
+            and P * ((m_pad + n_pad) // 16 + 2) * 4 <= 640 * 1024)
 
 
 def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):

@@ -255,20 +255,22 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
 def _decode_moves_packed(plane, nm, Rp):
     """Lockstep P-pair walk over the packed kernel's grouped plane.
 
-    ``plane``: (m_pad, S, LANES) int8 from psa_diff._psa_diff_traced_call
-    (pair p's cell (i, j) at plane[i, p*Rp + j//LANES, j % LANES]);
-    ``nm``: (P, 2) int32 real lengths.  Same move semantics as
-    :func:`_decode_moves`, all P walks advanced together: the three
-    plane reads per step (cell, left neighbour, up neighbour) fuse into
-    ONE gather of 3P elements, so the scalar-HBM-gather latency that
-    bounds the single-pair walk (~1.2 us/read through XLA) is paid once
-    per step for the whole group.
+    ``plane``: (m_pad // 4, S, LANES) int32 row-word plane from
+    psa_diff._psa_diff_traced_call (pair p's cell (i, j) is byte i%4 of
+    plane[i // 4, p*Rp + j//LANES, j % LANES]); ``nm``: (P, 2) int32
+    real lengths.  Same move semantics as :func:`_decode_moves`, all P
+    walks advanced together: the three plane reads per step (cell, left
+    neighbour, up neighbour) fuse into ONE gather of 3P elements, so
+    the scalar-HBM-gather latency that bounds the single-pair walk
+    (~1.2 us/read through XLA) is paid once per step for the whole
+    group.
 
     Returns (moves, counts): moves (P, m_pad + Rp*LANES) int8, counts
     (P,) int32.  Finished pairs park their writes in a dump slot and
     stop advancing; the loop runs until the longest walk ends.
     """
-    m_pad, S, L = plane.shape
+    m_w, S, L = plane.shape
+    m_pad = m_w * 4
     P = S // Rp
     maxlen = m_pad + Rp * L
     poff = jnp.arange(P, dtype=jnp.int32) * Rp
@@ -281,7 +283,8 @@ def _decode_moves_packed(plane, nm, Rp):
         j0 = jnp.maximum(j, 0)
         ii = jnp.concatenate([i0, i0, jnp.maximum(i - 1, 0)])
         jj = jnp.concatenate([j0, jnp.maximum(j - 1, 0), j0])
-        v = plane[ii, poff3 + jj // L, jj % L].astype(jnp.int32)
+        w = plane[ii >> 2, poff3 + jj // L, jj % L]
+        v = (w >> (8 * (ii & 3))) & 0xFF
         return v[:P], v[P:2 * P], v[2 * P:]
 
     def cond(st):
@@ -352,17 +355,29 @@ def emit_alignment(moves: np.ndarray, a: np.ndarray, b: np.ndarray,
 from jax.experimental import pallas as pl           # noqa: E402
 from jax.experimental.pallas import tpu as pltpu    # noqa: E402
 
-_BAND_R = 24   # band rows (multiple of 8: DMA sublane starts must align
+_BAND_R = 128  # band rows (multiple of 8: DMA sublane starts must align
                # to the int32 tiling)
-_BAND_W = 1024  # band width in int32 WORDS (= 4096 packed cells); both
-                # the slice start and width must be 128-word-aligned
-                # (Mosaic: "slice shape along dim 1 must be aligned to
-                # tiling (128)" -- the round-2 full-width band tripped
-                # exactly this)
+_BAND_W = 256  # band width in int32 WORDS (= 1024 packed cells); both
+               # the slice start and width must be 128-word-aligned
+               # (Mosaic: "slice shape along dim 1 must be aligned to
+               # tiling (128)" -- the round-2 full-width band tripped
+               # exactly this).
+               #
+               # Geometry matters more than size (r4 ablation): the walk
+               # moves up-left, consuming ~1 row AND ~1 cell per step, so
+               # steps-per-refetch = min(usable rows, usable cells) and
+               # the refetch DMA (~6 us strided) is THE per-step cost.
+               # The r3 band (24 x 4096 cells) refetched every 15-22
+               # steps (~350 ns/step amortised -- 85% of the measured
+               # ~0.6 us/step); 128 x 1024 cells at the same 128 KiB
+               # refetches every ~119 diagonal steps.  The 128-word
+               # column alignment floor keeps >= (band_w - 128) * 4
+               # cells usable left of any entry j, so width below 256
+               # words would leave pathological 0-cell windows.
 
 
 def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
-                 *, m_rows, n_w, band_w):
+                 *, m_rows, n_w, band_w, band_r):
     """plane_ref: (m_rows, n_w) int32 (4 packed int8 cells per word,
     m_rows a multiple of 8 covering the walked m rows); Mosaic SMEM
     scalars must be i32, hence the word packing + byte extracts.  The
@@ -377,8 +392,8 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
         # aligned start covering rows i-1 and i: floor8(i-15) keeps
         # i - bi in [15, 22] < _BAND_R
         bi = pl.multiple_of(
-            jnp.clip(((i - (_BAND_R - 9)) // 8) * 8, 0,
-                     m_rows - _BAND_R), 8)
+            jnp.clip(((i - (band_r - 9)) // 8) * 8, 0,
+                     m_rows - band_r), 8)
         # word window placed so jw sits near its RIGHT edge (the walk
         # moves left); both start and width 128-word-aligned
         jw = j >> 2
@@ -386,7 +401,7 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
             jnp.clip(((jw + 1 + 127) // 128) * 128 - band_w, 0,
                      n_w - band_w), 128)
         cp = pltpu.make_async_copy(
-            plane_ref.at[pl.ds(bi, _BAND_R), pl.ds(wj, band_w)],
+            plane_ref.at[pl.ds(bi, band_r), pl.ds(wj, band_w)],
             band_ref, sem)
         cp.start()
         cp.wait()
@@ -407,7 +422,7 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
         miss = jnp.logical_and(in_core, jnp.logical_or(
             jnp.logical_or(
                 jnp.logical_and(i > 0, i - 1 < bi0),
-                jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)),
+                jnp.logical_or(i < bi0, i >= bi0 + band_r)),
             jnp.logical_or(
                 jnp.maximum(j - 1, 0) >> 2 < wj0,
                 j >> 2 >= wj0 + band_w)))
@@ -438,133 +453,203 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
 
 
 def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
-                        sem, *, m_rows, n_w_pair, band_w, spec=True):
-    """Grid-(P,) variant of :func:`_walk_kernel` over the packed
-    kernel's grouped plane: program p walks pair p, whose packed words
-    sit at column offset ``p * n_w_pair`` of the (m_rows, P * n_w_pair)
-    int32 word view.  Pairs run sequentially on the core, but each step
-    is an SMEM band read (~ns) instead of the lockstep XLA walk's
-    ~4 us gather+scatter, so P x sequential is still ~20x faster."""
+                        sem, *, m_w, Rp, S, WS, band_r, U=8):
+    """Grid-(P,) walk over the packed kernel's row-word plane: program p
+    walks pair p, whose cell (i, j) is byte i%4 of
+    plane[i//4, p*Rp + j//128, j%128].  Pairs run sequentially on the
+    core, but each step is an SMEM band read (~ns) instead of the
+    lockstep XLA walk's ~4 us gather+scatter.
+
+    r4 rework, driven by three measured facts (scripts/walk_ablate*,
+    chain_profile):
+
+    * the int8->int32 plane bitcast the r3 walk required was a physical
+      relayout costing 35 ms per 8x10kbp group (half the walk chain!)
+      -- the DP kernel now emits int32 row-words directly and the band
+      is a 3-D (band_r, WS, LANES) window of the plane's NATIVE layout,
+      so nothing is copied outside the band DMAs;
+    * the while_loop iteration floor is ~46 ns with the body's reads,
+      writes and arithmetic nearly free on top of it, so the body
+      resolves ``U`` moves per iteration (straight-line unrolled
+      sub-steps chaining the ``forced`` gap-run carry) -- the
+      "speculative window" resolution, amortising loop overhead instead
+      of speculating on diagonal runs (the r3 7-deep diagonal extension
+      measured neutral: its lax.cond + serial reads cost what the
+      skipped iterations saved);
+    * the refetch DMA (~3 us) amortises over min(usable band rows,
+      cells), and the word packing makes the band square-ish in CELLS:
+      one (band_r, WS, 128) window covers 4*band_r rows x 128*WS cells,
+      >= ~(4*band_r - 40) diagonal steps per fetch.
+
+    Moves are packed 16-per-int32-word (2 bits each) into ``accw`` and
+    flushed one word at a time, shrinking the SMEM moves buffer and the
+    device->host transfer 16x (and with them the SMEM cap that used to
+    push long-pair groups onto the lockstep XLA walk).  Word-flush
+    invariant: t advances by exactly U while all sub-steps are active
+    (only the final iteration is partial), so with U in {1, 2, 4, 8,
+    16} a 16-boundary is crossed only at a body boundary and the
+    partial tail word is flushed once after the loop.
+    """
+    assert 16 % U == 0
     pid = pl.program_id(0)
-    base = pid * n_w_pair
+    seg0 = pid * Rp
     m = nm_ref[pid, 1]
     n = nm_ref[pid, 0]
 
     def refetch(i, j):
+        # place the current word-row ~9 below the band top (>= band_r-9
+        # word-rows = 4x that many cells walkable down) and j's segment
+        # in the right aligned half (>= WS-8 segments = 128*(WS-8)
+        # cells walkable left)
         bi = pl.multiple_of(
-            jnp.clip(((i - (_BAND_R - 9)) // 8) * 8, 0,
-                     m_rows - _BAND_R), 8)
-        jw = j >> 2
-        wj = pl.multiple_of(
-            base + jnp.clip(((jw + 1 + 127) // 128) * 128 - band_w, 0,
-                            n_w_pair - band_w), 128)
+            jnp.clip((((i >> 2) - (band_r - 9)) // 8) * 8, 0,
+                     m_w - band_r), 8)
+        gseg = seg0 + (jnp.maximum(j, 0) >> 7)
+        s0 = pl.multiple_of(
+            jnp.clip(((gseg >> 3) << 3) - (WS - 8), 0, S - WS), 8)
         cp = pltpu.make_async_copy(
-            plane_ref.at[pl.ds(bi, _BAND_R), pl.ds(wj, band_w)],
+            plane_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
             band_ref, sem)
         cp.start()
         cp.wait()
-        return bi, wj
-
-    def cell(li, j, wj0):
-        w = band_ref[li, base + (j >> 2) - wj0]
-        return (w >> ((j & 3) * 8)) & 0xFF
+        return bi, s0
 
     def cond(st):
-        i, j, t, forced, bi0, wj0 = st
+        i, j, t, forced, accw, bi0, s0 = st
         return jnp.logical_or(i >= 0, j >= 0)
 
     def body(st):
-        i, j, t, forced, bi0, wj0 = st
+        i, j, t, forced, accw, bi0, s0 = st
         in_core = jnp.logical_and(i >= 0, j >= 0)
+        # conservative: this iteration's U sub-steps touch at most rows
+        # i-U..i and columns j-U..j (up/left neighbour reads included);
+        # the max() clamps stop the check from re-firing forever once
+        # the window is pinned at the matrix edge
         miss = jnp.logical_and(in_core, jnp.logical_or(
             jnp.logical_or(
-                jnp.logical_and(i > 0, i - 1 < bi0),
-                jnp.logical_or(i < bi0, i >= bi0 + _BAND_R)),
+                jnp.maximum(i - U, 0) >> 2 < bi0,
+                i >> 2 >= bi0 + band_r),
             jnp.logical_or(
-                base + (jnp.maximum(j - 1, 0) >> 2) < wj0,
-                base + (j >> 2) >= wj0 + band_w)))
+                seg0 + (jnp.maximum(j - U, 0) >> 7) < s0,
+                seg0 + (j >> 7) >= s0 + WS)))
 
-        bi0, wj0 = jax.lax.cond(miss, lambda _: refetch(i, j),
-                                lambda _: (bi0, wj0), None)
+        bi0, s0 = jax.lax.cond(miss, lambda _: refetch(i, j),
+                               lambda _: (bi0, s0), None)
 
-        li = jnp.maximum(i - bi0, 0)
-        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0), wj0), 0)
-        fprev = jnp.where(
-            j > 0, (cell(li, jnp.maximum(j - 1, 0), wj0) // 3) % 3, 0)
-        eprev = jnp.where(
-            i > 0,
-            cell(jnp.maximum(li - 1, 0), jnp.maximum(j, 0), wj0) % 3,
-            0)
-        move, forced_next = _decode_step(in_core, i, j, forced, code,
-                                         fprev, eprev)
-        moves_ref[pid, t] = move
-        if not spec:
-            di = jnp.where(move == 0, 0, 1)
-            dj = jnp.where(move == 2, 0, 1)
-            return i - di, j - dj, t + 1, forced_next, bi0, wj0
+        t0 = t
+        for _ in range(U):
+            active = jnp.logical_or(i >= 0, j >= 0)
+            in_core = jnp.logical_and(i >= 0, j >= 0)
+            j0 = jnp.maximum(j, 0)
+            jl = jnp.maximum(j - 1, 0)
+            iu = jnp.maximum(i - 1, 0)
+            li = jnp.clip((jnp.maximum(i, 0) >> 2) - bi0, 0, band_r - 1)
+            liu = jnp.clip((iu >> 2) - bi0, 0, band_r - 1)
+            sg = jnp.clip(seg0 + (j0 >> 7) - s0, 0, WS - 1)
+            sgl = jnp.clip(seg0 + (jl >> 7) - s0, 0, WS - 1)
+            w = band_ref[li, sg, j0 & 127]
+            wl = band_ref[li, sgl, jl & 127]
+            wu = band_ref[liu, sg, j0 & 127]
+            code = jnp.where(in_core,
+                             (w >> (8 * (i & 3))) & 0xFF, 0)
+            fprev = jnp.where(
+                j > 0, (((wl >> (8 * (i & 3))) & 0xFF) // 3) % 3, 0)
+            eprev = jnp.where(
+                i > 0, ((wu >> (8 * (iu & 3))) & 0xFF) % 3, 0)
+            move, forced = _decode_step(in_core, i, j, forced, code,
+                                        fprev, eprev)
+            accw = accw | (jnp.where(active, move, 0) << (2 * (t & 15)))
+            step = active.astype(jnp.int32)
+            i = i - jnp.where(move == 0, 0, 1) * step
+            j = j - jnp.where(move == 2, 0, 1) * step
+            t = t + step
 
-        # speculative diagonal-run extension: global alignments are
-        # diagonal-dominant (a mismatch at X=-5 beats two gaps at
-        # 2(O+E)), and a diagonal move never consults neighbours or
-        # sets `forced` -- so when this step is an unforced diagonal,
-        # read up to 7 more cells up the diagonal and emit the whole
-        # run in one iteration.  Writes beyond the real run length are
-        # overwritten by later steps (t only advances by `run`), and
-        # i,j >= 7 guarantees >= 8 moves remain, so t+7 < maxlen.
-        can_spec = jnp.logical_and(
-            jnp.logical_and(in_core, forced == 0),
-            jnp.logical_and(
-                move == 1,
-                jnp.logical_and(
-                    jnp.logical_and(i - 7 >= bi0, j >= 7),
-                    base + ((j - 7) >> 2) >= wj0)))
+        # completed a 16-move word exactly at the body boundary
+        full = jnp.logical_and(t != t0, (t & 15) == 0)
 
-        def extend(_):
-            ok = jnp.int32(1)
-            run = jnp.int32(1)
-            for k in range(1, 8):
-                c = cell(li - k, j - k, wj0)
-                ok = ok * jnp.where(c // 9 == 1, 1, 0)
-                run = run + ok
-                moves_ref[pid, t + k] = 1
-            return run
+        @pl.when(full)
+        def _():
+            moves_ref[pid, (t - 1) >> 4] = accw
 
-        run = jax.lax.cond(can_spec, extend,
-                           lambda _: jnp.int32(1), None)
-        di = jnp.where(move == 0, 0, run)
-        dj = jnp.where(move == 2, 0, run)
-        return i - di, j - dj, t + run, forced_next, bi0, wj0
+        accw = jnp.where(full, 0, accw)
+        return i, j, t, forced, accw, bi0, s0
 
-    st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0),
-          jnp.asarray(-(2 ** 30), jnp.int32),   # forces the first fetch
-          jnp.asarray(-(2 ** 30), jnp.int32))
-    i, j, t, _, _, _ = jax.lax.while_loop(cond, body, st)
+    st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+          jnp.asarray(2 ** 30, jnp.int32),   # forces the first fetch
+          jnp.asarray(2 ** 30, jnp.int32))
+    i, j, t, _, accw, _, _ = jax.lax.while_loop(cond, body, st)
+    # partial tail word (harmlessly writes the unused next word when
+    # t % 16 == 0 -- everything past `count` is ignored downstream)
+    moves_ref[pid, t >> 4] = accw
     count_ref[pid, 0] = t
+
+
+def packed_words_len(maxlen):
+    """Words in a packed 2-bit move row of up to ``maxlen`` moves (+1
+    slack word for the unconditional tail flush)."""
+    return (maxlen + 15) // 16 + 1
+
+
+def pack_moves_words(moves):
+    """(P, L) int8 moves -> (P, packed_words_len(L)) int32, 16 moves of
+    2 bits per word, LSB-first -- the lockstep walk's output converted
+    to the banded kernel's wire format (disjoint bit positions, so the
+    sum is an OR)."""
+    P, L = moves.shape
+    W = packed_words_len(L)
+    pad = W * 16 - L
+    m = jnp.pad(moves.astype(jnp.int32), ((0, 0), (0, pad)))
+    m = m.reshape(P, W, 16)
+    sh = 2 * jnp.arange(16, dtype=jnp.int32)
+    return (m << sh).sum(axis=2, dtype=jnp.int32)
+
+
+def unpack_moves(words, count):
+    """One pair's packed int32 move words -> (count,) int8 moves."""
+    w = np.asarray(words, np.int32)[: (int(count) + 15) // 16]
+    w = w.view(np.uint32)
+    m = (w[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+    return m.reshape(-1)[: int(count)].astype(np.int8)
+
+
+_BAND_RW = 32   # packed-walk band word-rows (x4 logical rows each;
+                # multiple of 8 for the DMA row-start tiling)
+_BAND_WS = 16   # packed-walk band segments (x128 cells each; multiple
+                # of 8 -- dim 1 of the 3-D plane window is the tiled
+                # sublane dim, so starts must be provably 8-aligned;
+                # the window is placed on an aligned 8-segment grid
+                # with j's segment in the right half, guaranteeing
+                # >= (WS-8)*128 cells walkable left per fetch)
 
 
 @functools.partial(jax.jit, static_argnames=("Rp", "spec"))
 def _decode_moves_banded_packed(plane, nm, Rp, spec=True):
-    """Pallas banded walk over the grouped plane; same contract as
-    :func:`_decode_moves_packed` (moves int8 (P, maxlen), counts (P,)).
-    Requires the per-pair width n_pad = Rp*128 to be 512-aligned
-    (Rp % 4 == 0) and m_pad % 8 == 0.  ``spec`` enables the
-    speculative diagonal-run extension (TSTA_SPEC_WALK=0 in the caller
-    opts out)."""
-    m_pad, S, L = plane.shape
+    """Pallas banded walk over the grouped row-word plane
+    (m_pad // 4, S, LANES) int32 from psa_diff._psa_diff_traced_call.
+    Returns (words, counts): words (P, packed_words_len(m_pad + n_pad))
+    int32 with 16 2-bit moves per word (see :func:`pack_moves_words`),
+    counts (P,) int32.  Requires Rp % 4 == 0 (512-aligned per-pair
+    width), m_pad % 8 == 0, and S = P*Rp either <= _BAND_WS (whole
+    width fits one window) or a multiple of 8 (aligned window starts).
+    ``spec`` selects the U=8 unrolled window body (TSTA_SPEC_WALK=0 in
+    the caller drops to U=1 for A/B)."""
+    m_w, S, L = plane.shape
+    m_pad = m_w * 4
     P = S // Rp
     n_pad = Rp * L
     maxlen = m_pad + n_pad
-    n_w_pair = n_pad // 4
-    if n_w_pair % 128 or m_pad % 8 or m_pad < _BAND_R:
-        raise ValueError("banded packed walk needs n_pad %% 512 == 0 and "
-                         "m_pad %% 8 == 0, >= %d" % _BAND_R)
-    band_w = min(_BAND_W, n_w_pair)
-    plane32 = jax.lax.bitcast_convert_type(
-        plane.reshape(m_pad, P * n_w_pair, 4), jnp.int32)
-    kernel = functools.partial(_walk_kernel_packed, m_rows=m_pad,
-                               n_w_pair=n_w_pair, band_w=band_w,
-                               spec=spec)
-    moves, counts = pl.pallas_call(
+    band_r = min(_BAND_RW, m_w)
+    if (Rp % 4 or m_pad % 8 or m_pad < 24
+            or (m_w > band_r and m_w % 8)
+            or (S > _BAND_WS and S % 8)):
+        raise ValueError("banded packed walk needs Rp %% 4 == 0, "
+                         "m_pad %% 8 == 0 >= 24, and aligned windows "
+                         "(got m_pad=%d S=%d)" % (m_pad, S))
+    WS = min(_BAND_WS, S)
+    kernel = functools.partial(_walk_kernel_packed, m_w=m_w, Rp=Rp,
+                               S=S, WS=WS, band_r=band_r,
+                               U=8 if spec else 1)
+    words, counts = pl.pallas_call(
         kernel,
         grid=(P,),
         interpret=jax.default_backend() != "tpu",
@@ -573,21 +658,22 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True):
                   if not hasattr(pltpu, "HBM")
                   else pl.BlockSpec(memory_space=pltpu.HBM)],
         out_shape=(
-            jax.ShapeDtypeStruct((P, maxlen), jnp.int32),
+            jax.ShapeDtypeStruct((P, packed_words_len(maxlen)),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
         ),
         # full-array SMEM outputs written at dynamic row pid inside the
-        # kernel (per-pid (1, maxlen) blocks violate the (8, 128) rule)
+        # kernel (per-pid blocks violate the (8, 128) rule)
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((_BAND_R, band_w), jnp.int32),
+            pltpu.SMEM((band_r, WS, L), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(nm, plane32)
-    return moves.astype(jnp.int8), counts[:, 0]
+    )(nm, plane)
+    return words, counts[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_stride",))
@@ -599,19 +685,19 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
     words, so keep n_stride <= ~16k to stay inside the SMEM budget)."""
     m_rows, n_stride2 = int(plane.shape[0]), int(plane.shape[1])
     n_stride = n_stride or n_stride2
-    if m_rows % 8 or m_rows < _BAND_R:
-        raise ValueError("banded walk needs row count %% 8 == 0 and >= %d"
-                         % _BAND_R)
+    if m_rows % 8 or m_rows < 24:
+        raise ValueError("banded walk needs row count %% 8 == 0 and >= 24")
     n_w = n_stride // 4
     if n_w % 128:
         raise ValueError("banded walk needs n_stride %% 512 == 0")
     band_w = min(_BAND_W, n_w)
+    band_r = min(_BAND_R, m_rows)
     plane32 = jax.lax.bitcast_convert_type(
         plane.reshape(m_rows, n_w, 4), jnp.int32)
     nm = jnp.stack([jnp.asarray(n, jnp.int32),
                     jnp.asarray(m, jnp.int32)]).reshape(1, 2)
     kernel = functools.partial(_walk_kernel, m_rows=m_rows, n_w=n_w,
-                               band_w=band_w)
+                               band_w=band_w, band_r=band_r)
     moves, count = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
@@ -630,7 +716,7 @@ def _decode_moves_banded(plane, m, n, n_stride=None):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((_BAND_R, band_w), jnp.int32),
+            pltpu.SMEM((band_r, band_w), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )(nm, plane32)
