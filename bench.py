@@ -138,12 +138,30 @@ def stage_msa_native():
                 out_n.round_scores == [-5451, -3101, -1776, -870])}
 
 
+def _realistic_pairs(nb, ln, seed=1):
+    """Mutated-copy pairs (5% subs, 2% dels) -- the workload shape the
+    reference is built for; random pairs understate diagonal runs."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    out = []
+    for _ in range(nb):
+        a = rng.choice(bases, ln).astype(np.uint8)
+        b = a.copy()
+        m = rng.random(ln) < 0.05
+        b[m] = bases[rng.integers(0, 4, m.sum())]
+        b = np.delete(b, rng.integers(0, ln, ln // 50))
+        out.append((a, b))
+    return out
+
+
 def stage_traced_batch():
     from tsta_tpu.config import AlignParams
     from tsta_tpu.parallel import batch as pbatch
     params = AlignParams()
-    # 8 pairs = one packed traced dispatch (P_CAP_TRACED); measured r3:
-    # 6.3 GCUPS at nb=8, 8.2 at nb=32 (four pipelined groups)
+    # 8 pairs = one packed traced dispatch (P_CAP_TRACED); r4 rework
+    # (row-word plane + unrolled window walk): 10.3 at nb=8, 15.2 at
+    # nb=32 realistic (four pipelined groups)
     tpairs = _batch_pairs(8, 10240)
     tcells = sum(len(x) * len(y) for x, y in tpairs)
 
@@ -152,8 +170,87 @@ def stage_traced_batch():
 
     out = run()  # warm (shapes shared with the traced stage)
     dt = time_best(run, warmup=0, iters=1)
-    return {"psa_traced_batch_gcups_e2e": round(tcells / dt / 1e9, 3),
-            "psa_traced_batch_score_exact": out[0][0] == -5}
+    res = {"psa_traced_batch_gcups_e2e": round(tcells / dt / 1e9, 3),
+           "psa_traced_batch_score_exact": out[0][0] == -5}
+
+    # nb=32 realistic: the round-3 verdict's target metric (>= 12);
+    # same padded shapes as nb=8, so no fresh compile
+    rpairs = _realistic_pairs(32, 10240)
+    rcells = sum(len(x) * len(y) for x, y in rpairs)
+
+    def run32():
+        return pbatch.align_batch_traced_device(rpairs, params)
+
+    run32()
+    dt32 = time_best(run32, warmup=0, iters=2)
+    res["psa_traced_batch32_gcups_e2e"] = round(rcells / dt32 / 1e9, 3)
+    return res
+
+
+def stage_int16_probe():
+    """int32-vs-int16 difference-kernel A/B on the headline shape
+    (round-3 verdict item 4: re-measure the 2x density lever on every
+    toolchain bump instead of remembering to).  int16 stays opt-in
+    until it wins (Mosaic lacks i16 maxsi; the 9-op SWAR max costs more
+    than the density saves -- 11.3 vs 15.8 GCUPS on the r3 toolchain)."""
+    from tsta_tpu.ops import psa_diff
+    p = (2, -5, -2, -4)
+    pairs = _batch_pairs(32, 10240)
+    cells = sum(len(x) * len(y) for x, y in pairs)
+    out = {}
+    for label, use16 in (("int32", False), ("int16", True)):
+        def run():
+            sc, _ = psa_diff.psa_align_batch_diff(pairs, p,
+                                                  use_int16=use16)
+            return sc
+        scores = run()
+        dt = time_best(run, warmup=0, iters=2)
+        out["psa_batch_%s_gcups" % label] = round(cells / dt / 1e9, 3)
+        out["psa_batch_%s_exact" % label] = int(scores[0]) == -5
+    out["int16_speedup"] = round(
+        out["psa_batch_int16_gcups"] / max(out["psa_batch_int32_gcups"],
+                                           1e-9), 3)
+    return out
+
+
+def stage_msa_fleet():
+    """msa-batch fleet throughput (round-3 verdict item 6): 6
+    independent 5x5kbp problems through align_seqs_many's pipelined
+    scheduler (problem i's host fusion overlaps problem i+1's device
+    DP).  Tracks problems/s so scheduler regressions are visible."""
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def problem(seed):
+        r = np.random.default_rng(seed)
+        base = r.choice(bases, 5000).tobytes()
+        seqs = [base]
+        for _ in range(4):
+            s = np.frombuffer(base, np.uint8).copy()
+            m = r.random(len(s)) < 0.05
+            s[m] = bases[r.integers(0, 4, m.sum())]
+            seqs.append(
+                np.delete(s, r.integers(0, len(s), len(s) // 50))
+                .tobytes())
+        return seqs
+
+    problems = [problem(100 + i) for i in range(6)]
+    params = AlignParams()
+    msa_native.align_seqs_many(problems[:2], params)   # warm
+    t0 = time.perf_counter()
+    outs = msa_native.align_seqs_many(problems, params)
+    dt = time.perf_counter() - t0
+    cells = 0
+    for seqs, out in zip(problems, outs):
+        glen = [len(seqs[0])] + out.graph_len[:-1]
+        cells += sum(g * len(s) for g, s in zip(glen, seqs[1:]))
+    return {"msa_fleet_wall_s": round(dt, 3),
+            "msa_fleet_problems_per_s": round(len(problems) / dt, 2),
+            "msa_fleet_gcups": round(cells / dt / 1e9, 3)}
 
 
 def stage_packed():
@@ -228,6 +325,8 @@ STAGES = {
     "traced_batch": stage_traced_batch,
     "msa_50k": stage_msa_50k,
     "batch128": lambda: stage_batch(128),
+    "msa_fleet": stage_msa_fleet,
+    "int16_probe": stage_int16_probe,
 }
 
 
@@ -288,6 +387,8 @@ PLAN = [
     ("traced_batch", [60, 90, 180], 30),
     ("msa_50k", [90, 180, 300], 45),
     ("batch128", [60, 120, 240], 30),
+    ("msa_fleet", [90, 180], 40),
+    ("int16_probe", [60, 300], 30),
 ]
 
 
