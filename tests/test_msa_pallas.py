@@ -318,3 +318,23 @@ def test_poa_kernel_dma_race_detector(monkeypatch):
     monkeypatch.delenv("TSTA_HBM_BUDGET_GB")
     assert out_c.round_scores == ref.round_scores
     assert out_c.rows == ref.rows and out_c.consensus == ref.consensus
+
+
+def test_banded_walk_matches_xla_walk(monkeypatch):
+    """The banded SMEM Pallas walk (msa_pallas._walk_banded) emits the
+    identical alignment, rows and consensus as the XLA gather walk on
+    the same inputs (round-4 walk rework; gate via
+    TSTA_BANDED_MSA_WALK)."""
+    params = AlignParams()
+    rng = np.random.default_rng(17)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 700).tobytes()
+    seqs = [base] + [_mutate(rng, base, 0.10) for _ in range(4)]
+
+    monkeypatch.setenv("TSTA_MSA_KERNEL", "poa")
+    monkeypatch.delenv("TSTA_BANDED_MSA_WALK", raising=False)
+    out_b = align_seqs(seqs, params)
+    monkeypatch.setenv("TSTA_BANDED_MSA_WALK", "0")
+    out_x = align_seqs(seqs, params)
+    assert out_b.round_scores == out_x.round_scores
+    assert out_b.rows == out_x.rows
+    assert out_b.consensus == out_x.consensus

@@ -59,7 +59,33 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 words_ref, scores_ref, sbuf_ref,
                 sp_ref, stage_ref, stage16_ref,
                 gsem, wsem,
-                *, NB, Rp, W, max_in, params):
+                *, NB, Rp, W, max_in, params, ablate=""):
+    # ``ablate``: profiling-only switches (scripts/poa_budget.py) that
+    # disable one cost component at a time to measure the per-node
+    # budget -- "noword" (traceback emission: flag computation +
+    # store + DMA), "noring" (state ring store+DMA), "nogather" (force
+    # the chain fast path), "noseg"/"nof" (skip the cross-segment /
+    # whole F prefix), "nodp" (skip the row arithmetic).  Production
+    # callers pass "".  The r4 measured budget at 3x50 kbp round 2
+    # (N=52224, n=49152, W=8, max_in=2, 91% chain nodes), full round
+    # 112 ms = 2.15 us/node:
+    #   word emission   ~25 ms  (~16 full-width ops of parity-required
+    #                            flag math; the int16 cast and the DMA
+    #                            are ~free -- pair-packing words into
+    #                            int32 A/B'd neutral)
+    #   lane F prefix   ~32 ms  (7x roll+select+max, minimal for a
+    #                            128-lane prefix)
+    #   segment prefix  ~17 ms  ((Rp,1)-column variant A/B'd 90 ms
+    #                            SLOWER -- narrow-column ops lower
+    #                            badly, consistent with r3 packed2)
+    #   ring write       ~0 ms  (the verdict-suggested chain-run
+    #                            elision has nothing to save)
+    #   gathers          ~0 ms  (chain fast path already covers 91%)
+    #   reduction+loop  ~38 ms  floor
+    # i.e. ~90 full-width (384,128) int32 ops/node at the measured
+    # ~29 ns/op: the kernel is AT its formulation's VPU ALU floor; the
+    # remaining lever is dtype density (int16/int8), blocked on Mosaic
+    # ordered-i16 ops (see ROADMAP int16 re-probe).
     # NOTE on SMEM layouts: scalar tables are (rows, N) -- SMEM pads the
     # minor dim to a full lane tile, so an (N, 1) table would occupy
     # N x 512 bytes and overflow the ~1 MB SMEM budget for any real
@@ -106,7 +132,11 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         return jnp.where(origin, fill, res)
 
     def node_body(i, carry):
-        h_carry, e_carry = carry     # previous node's H/E rows
+        # wlow: even node's trace word, held until the odd partner
+        # completes the int32 pair (words ship as 2-node int32 words so
+        # the banded walk can window them without a bitcast relayout;
+        # A/B'd timing-neutral vs int16-per-node on v5e)
+        h_carry, e_carry, wlow = carry
         il = blk * NB + i            # node row local to this call
         ig = chunk_base + il         # global topo row (ring indexing)
         # chain fast path: single pred == previous node -> its rows are
@@ -118,6 +148,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # the register carry does not cross grid steps or calls: first
         # node of a block always gathers
         chain = jnp.logical_and(chain, i > 0)
+        if "nogather" in ablate:
+            chain = i > 0
         # wait for the PREVIOUS node's state writes first: a distance-1
         # multi-pred gather reads the slot they target, so they must
         # complete before any gather STARTS.  The writes were launched a
@@ -126,11 +158,19 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # chunk call's rings are already complete (aliased inputs).
         @pl.when(il > 0)
         def _wait_writes():
-            pltpu.make_async_copy(stage16_ref.at[0],
-                                  words_ref.at[jnp.maximum(il - 1, 0)],
-                                  wsem.at[0]).wait()
-            pltpu.make_async_copy(stage_ref.at[0],
-                                  sbuf_ref.at[ig % W], wsem.at[1]).wait()
+            if "noword" not in ablate:
+                # word DMAs are issued at odd rows; the staging buffer
+                # is next reused at il+2, so wait one pair later
+                @pl.when(jnp.logical_and((il & 1) == 1, il > 1))
+                def _():
+                    pltpu.make_async_copy(
+                        stage16_ref.at[0],
+                        words_ref.at[jnp.maximum((il >> 1) - 1, 0)],
+                        wsem.at[0]).wait()
+            if "noring" not in ablate:
+                pltpu.make_async_copy(stage_ref.at[0],
+                                      sbuf_ref.at[ig % W],
+                                      wsem.at[1]).wait()
 
         # ---- gather predecessor state (ring slots); all DMAs start
         # before any wait so their latencies overlap.  H and E live
@@ -195,6 +235,18 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
 
         base = bases_ref[0, i]
         sub = jnp.where(a32 == base, m_, x_)
+        if "nodp" in ablate:   # profiling-only; implies noword
+            h_row = jnp.maximum(hbest + sub, ebest)
+            e_row = ebest
+            if "noring" not in ablate:
+                stage_ref[0, :Rp] = h_row
+                stage_ref[0, Rp:] = e_row
+                pltpu.make_async_copy(stage_ref.at[0],
+                                      sbuf_ref.at[(ig + 1) % W],
+                                      wsem.at[1]).start()
+            scores_ref[0, i] = jnp.max(
+                jnp.where(corner_mask, h_row, NEG32))
+            return h_row, e_row, wlow
         diag = shift1(hbest, fill_h) + sub
         h_pred = shift1(hargm, fill_arg)
         e_row = ebest
@@ -203,21 +255,25 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         hv_m1 = hm1own_ref[0, i]                 # own H(v,-1)
         y = c - colE
         p = shift1(y, hv_m1 + e_)
-        k = 1
-        while k < LANES:
-            p = jnp.maximum(
-                p, jnp.where(lane_lt[k], NEG32,
-                             pltpu.roll(p, shift=k, axis=1)))
-            k *= 2
-        t = jnp.maximum(p, y)
-        k = 1
-        while k < Rp:
-            t = jnp.maximum(
-                t, jnp.where(seg_lt[k], NEG32,
-                             pltpu.roll(t, shift=k, axis=0)))
-            k *= 2
-        cyt = pltpu.roll(t, shift=1, axis=0)
-        carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
+        if "nof" not in ablate:
+            k = 1
+            while k < LANES:
+                p = jnp.maximum(
+                    p, jnp.where(lane_lt[k], NEG32,
+                                 pltpu.roll(p, shift=k, axis=1)))
+                k *= 2
+        if "noseg" in ablate or "nof" in ablate:
+            carry_seg = jnp.int32(NEG32)
+        else:
+            t = jnp.maximum(p, y)
+            k = 1
+            while k < Rp:
+                t = jnp.maximum(
+                    t, jnp.where(seg_lt[k], NEG32,
+                                 pltpu.roll(t, shift=k, axis=0)))
+                k *= 2
+            cyt = pltpu.roll(t, shift=1, axis=0)
+            carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
         f_row = oColE + jnp.maximum(p, carry_seg)
         h_row = jnp.maximum(c, f_row)
 
@@ -237,9 +293,15 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # start both state writes; the NEXT node waits on them
         # (their latencies overlap each other and the loop tail).  H and
         # E stage into one buffer so the ring write is a single DMA.
-        stage16_ref[0] = word.astype(jnp.int16)
-        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[il],
-                              wsem.at[0]).start()
+        if "noword" not in ablate:
+            @pl.when((il & 1) == 1)
+            def _word_pair():
+                stage16_ref[0] = wlow | (word << 16)
+                pltpu.make_async_copy(stage16_ref.at[0],
+                                      words_ref.at[il >> 1],
+                                      wsem.at[0]).start()
+
+            wlow = jnp.where((il & 1) == 0, word, wlow)
         stage_ref[0, :Rp] = h_row
         stage_ref[0, Rp:] = e_row
         pltpu.make_async_copy(stage_ref.at[0],
@@ -249,26 +311,30 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         # sink score at column n_real-1
         scores_ref[0, i] = jnp.max(
             jnp.where(corner_mask, h_row, NEG32))
-        return h_row, e_row
+        return h_row, e_row, wlow
 
     h_c0 = jnp.full((Rp, LANES), NEG32, jnp.int32)
     e_c0 = jnp.full((Rp, LANES), NEG32, jnp.int32)
-    jax.lax.fori_loop(0, NB, node_body, (h_c0, e_c0))
+    w_c0 = jnp.zeros((Rp, LANES), jnp.int32)
+    jax.lax.fori_loop(0, NB, node_body, (h_c0, e_c0, w_c0))
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _drain():
         last = blk * NB + NB - 1
-        pltpu.make_async_copy(stage16_ref.at[0], words_ref.at[last],
-                              wsem.at[0]).wait()
+        if "noword" not in ablate:
+            pltpu.make_async_copy(stage16_ref.at[0],
+                                  words_ref.at[last >> 1],
+                                  wsem.at[0]).wait()
         pltpu.make_async_copy(stage_ref.at[0],
                               sbuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[1]).wait()
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("N", "n", "W", "max_in", "params"))
+                   static_argnames=("N", "n", "W", "max_in", "params",
+                                    "ablate"))
 def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
-                    ring, N, n, W, max_in, params):
+                    ring, N, n, W, max_in, params, ablate=""):
     """One node-chunk of a round's DP (the whole round when unchunked).
 
     preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
@@ -280,7 +346,8 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
     Rp = n // LANES
     NB = _node_block(N)
     kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
-                               max_in=max_in, params=params)
+                               max_in=max_in, params=params,
+                               ablate=ablate)
     words, scores, ring = pl.pallas_call(
         kernel,
         grid=(N // NB,),
@@ -303,7 +370,8 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
             pl.BlockSpec(memory_space=pl.ANY),        # state ring in
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((N, Rp, LANES), jnp.int16),  # words
+            jax.ShapeDtypeStruct((N // 2, Rp, LANES),
+                                 jnp.int32),  # words (2 nodes/int32)
             jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
             jax.ShapeDtypeStruct((W, 2 * Rp, LANES), jnp.int32),  # ring
         ),
@@ -317,7 +385,7 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
         scratch_shapes=[
             pltpu.VMEM((max_in, 2 * Rp, LANES), jnp.int32),  # gathered H+E
             pltpu.VMEM((1, 2 * Rp, LANES), jnp.int32),       # state staging
-            pltpu.VMEM((1, Rp, LANES), jnp.int16),           # word staging
+            pltpu.VMEM((1, Rp, LANES), jnp.int32),           # word staging
             pltpu.SemaphoreType.DMA((max_in,)),              # gather sems
             pltpu.SemaphoreType.DMA((2,)),                   # write sems
         ],
@@ -359,7 +427,8 @@ def _walk_bounded(words_c, preds, row, j, state, align, base_row, n):
 
     def body(st):
         row, j, state, align = st
-        w = words2[row - base_row, j].astype(jnp.int32) & 0xFFFF
+        rl = row - base_row
+        w = (words2[rl >> 1, j] >> (16 * (rl & 1))) & 0xFFFF
         flags = w & 0xF
         h_type = flags >> 2
         e_ext = (flags >> 1) & 1
@@ -405,7 +474,7 @@ def _walk(words, preds, best_row, n_real, n):
 
     def body(st):
         row, j, state, align = st
-        w = words2[row, j].astype(jnp.int32) & 0xFFFF
+        w = (words2[row >> 1, j] >> (16 * (row & 1))) & 0xFFFF
         flags = w & 0xF
         h_type = flags >> 2
         e_ext = (flags >> 1) & 1
@@ -440,6 +509,164 @@ def _walk(words, preds, best_row, n_real, n):
     row, j, state, align = jax.lax.while_loop(
         cond, body, (best_row, n_real - 1, jnp.int32(0), align0))
     return align
+
+
+# ---------------------------------------------------------------------
+# Banded Pallas walk: the XLA walk above pays ~1.2 us of scalar HBM
+# gather latency per step (r4 pipeline profile: 187 ms of the 50k
+# round's ~450 ms wall -- bigger than the DP kernel's own 112 ms).
+# Same cure as the PSA walk (ops/traceback._walk_kernel_packed): DMA a
+# band of the word plane into SMEM and step through it with ~ns scalar
+# reads; the preds table rides whole in SMEM (it is the walk's other
+# per-step gather).
+# ---------------------------------------------------------------------
+
+_WBAND_R = 24   # band word-rows (x2 nodes each; multiple of 8)
+_WBAND_S = 8    # band segments (x128 columns each; multiple of 8)
+
+
+def _poa_walk_kernel(scal_ref, preds_ref, align0_ref, words_ref,
+                     align_ref, band_ref, sem,
+                     *, m_w, Rp, WS, band_r, U=4):
+    """Single-program banded traceback walk over the pair-packed word
+    plane (m_w = N//2 word-rows, Rp segments, 128 lanes).  Mirrors
+    :func:`_walk`'s 3-state machine branchlessly; ``U`` sub-steps per
+    while iteration amortise the ~46 ns loop floor (measured,
+    scripts/walk_ablate2).  Pred jumps (diag/E moves) can land outside
+    the band mid-body: those sub-steps STALL (no state change) and the
+    next iteration's miss check refetches -- so every consumed word was
+    read in-band."""
+    del align0_ref   # aliased to align_ref (pre-filled with -1)
+    n_real = scal_ref[0, 0]
+    best_row = scal_ref[0, 1]
+
+    def refetch(row, j):
+        bi = pl.multiple_of(
+            jnp.clip((((row >> 1) - (band_r - 9)) // 8) * 8, 0,
+                     m_w - band_r), 8)
+        seg = jnp.maximum(j, 0) >> 7
+        s0 = pl.multiple_of(
+            jnp.clip(((seg >> 3) << 3) - (WS - 8), 0, Rp - WS), 8)
+        cp = pltpu.make_async_copy(
+            words_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
+            band_ref, sem)
+        cp.start()
+        cp.wait()
+        return bi, s0
+
+    def cond(st):
+        row, j, state, bi0, s0 = st
+        return jnp.logical_and(j >= 0, row >= 0)
+
+    def body(st):
+        row, j, state, bi0, s0 = st
+        live = jnp.logical_and(j >= 0, row >= 0)
+        # refetch when the entry cell is out of band, or when the U
+        # j-steps could leave it leftward (j moves at most 1/sub-step;
+        # rows move by pred jumps, caught by the sub-step stall)
+        miss = jnp.logical_and(live, jnp.logical_or(
+            jnp.logical_or((row >> 1) < bi0,
+                           (row >> 1) >= bi0 + band_r),
+            jnp.logical_or((jnp.maximum(j - U, 0) >> 7) < s0,
+                           (j >> 7) >= s0 + WS)))
+        bi0, s0 = jax.lax.cond(miss, lambda _: refetch(row, j),
+                               lambda _: (bi0, s0), None)
+
+        for _ in range(U):
+            r0 = jnp.maximum(row, 0)
+            j0 = jnp.maximum(j, 0)
+            li = (r0 >> 1) - bi0
+            sg = (j0 >> 7) - s0
+            inband = jnp.logical_and(
+                jnp.logical_and(li >= 0, li < band_r),
+                jnp.logical_and(sg >= 0, sg < WS))
+            live = jnp.logical_and(
+                jnp.logical_and(j >= 0, row >= 0), inband)
+            li = jnp.clip(li, 0, band_r - 1)
+            sg = jnp.clip(sg, 0, WS - 1)
+            w = (band_ref[li, sg, j0 & 127] >> (16 * (r0 & 1))) & 0xFFFF
+            flags = w & 0xF
+            h_type = flags >> 2
+            e_ext = (flags >> 1) & 1
+            f_ext = flags & 1
+            h_pred = (w >> 4) & 0x3F
+            e_pred = (w >> 10) & 0x3F
+            is_h = state == 0
+            is_e = state == 1
+            diag = jnp.logical_and(is_h, h_type == 0)
+            hprow = preds_ref[jnp.clip(h_pred, 0, preds_ref.shape[0]
+                                       - 1), r0] - 1
+            eprow = preds_ref[jnp.clip(e_pred, 0, preds_ref.shape[0]
+                                       - 1), r0] - 1
+            write_j = jnp.logical_and(
+                live, jnp.logical_or(diag, state == 2))
+
+            @pl.when(write_j)
+            def _():
+                align_ref[0, j0] = jnp.where(diag, row, -1)
+
+            new_row = jnp.where(diag, hprow,
+                                jnp.where(is_e, eprow, row))
+            new_j = jnp.where(jnp.logical_or(diag, state == 2),
+                              j - 1, j)
+            new_state = jnp.where(is_h, h_type,
+                                  jnp.where(is_e, e_ext, 2 * f_ext))
+            row = jnp.where(live, new_row, row)
+            j = jnp.where(live, new_j, j)
+            state = jnp.where(live, new_state, state)
+
+        return row, j, state, bi0, s0
+
+    st = (best_row, n_real - 1, jnp.int32(0),
+          jnp.asarray(2 ** 30, jnp.int32),
+          jnp.asarray(2 ** 30, jnp.int32))
+    jax.lax.while_loop(cond, body, st)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _walk_banded(words, preds_t, scal, n):
+    """Banded-kernel counterpart of :func:`_walk`.  ``words`` is the
+    pair-packed (N//2, Rp, LANES) int32 plane, ``preds_t`` the
+    (max_in, N) int32 pred table (fits SMEM whole -- callers gate on
+    size via :func:`_walk_banded_ok`), ``scal`` (1, 2) int32
+    [n_real, best_row].  Returns align (n,) int32."""
+    m_w, Rp, L = words.shape
+    band_r = min(_WBAND_R, m_w)
+    WS = min(_WBAND_S, Rp)
+    kernel = functools.partial(_poa_walk_kernel, m_w=m_w, Rp=Rp,
+                               WS=WS, band_r=band_r)
+    align0 = jnp.full((1, n), -1, jnp.int32)
+    align = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.SMEM((band_r, WS, L), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={2: 0},
+    )(scal, preds_t, align0, words)
+    return align[0]
+
+
+def _walk_banded_ok(N, max_in, n, Rp):
+    """Gate for the banded walk: everything it parks in SMEM (preds
+    table + align row + band) must fit alongside the ~1 MB budget, and
+    the window geometry needs aligned starts."""
+    import os
+    if os.environ.get("TSTA_BANDED_MSA_WALK", "1") in ("", "0"):
+        return False
+    m_w = N // 2
+    smem = (N * max_in + n + min(_WBAND_R, m_w) * min(_WBAND_S, Rp)
+            * LANES + 64) * 4
+    return (N % 2 == 0 and smem <= 832 * 1024
+            and (m_w <= _WBAND_R or m_w % 8 == 0)
+            and (Rp <= _WBAND_S or Rp % 8 == 0))
 
 
 def _prepare(g, params):
@@ -531,6 +758,18 @@ def _next_pow2(v):
 def _node_block(N):
     """Nodes per grid step (SMEM window size); divides N by design."""
     return min(512, N)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _best_and_walk_banded(words, preds_t, scores, sink_mask, n_real, n):
+    """Banded-walk variant of :func:`_best_and_walk` (one async chain:
+    argmax -> banded Pallas walk)."""
+    masked = jnp.where(sink_mask != 0, scores[0], NEG)
+    best_row = jnp.argmax(masked).astype(jnp.int32)
+    scal = jnp.stack([jnp.asarray(n_real, jnp.int32),
+                      best_row]).reshape(1, 2)
+    align = _walk_banded(words, preds_t, scal, n)
+    return best_row, align
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -773,9 +1012,16 @@ def round_dp_fused(g, seq: bytes, params):
     sink_mask[:len(order)] = np.isin(
         np.asarray(order, np.int64),
         np.fromiter(g.sinks(), np.int64)).astype(np.int32)
-    best_row, align = _best_and_walk(
-        words, jnp.asarray(preds), scores, jnp.asarray(sink_mask),
-        jnp.int32(n_real), n)
+    if _walk_banded_ok(N, max_in, n, n // LANES):
+        # banded SMEM walk: the XLA gather walk cost 187 ms of the 50k
+        # round (r4 pipeline profile) -- more than the DP kernel itself
+        best_row, align = _best_and_walk_banded(
+            words, jnp.asarray(predsT), scores, jnp.asarray(sink_mask),
+            jnp.int32(n_real), n)
+    else:
+        best_row, align = _best_and_walk(
+            words, jnp.asarray(preds), scores, jnp.asarray(sink_mask),
+            jnp.int32(n_real), n)
     return (scores, align, best_row, order)
 
 
