@@ -304,6 +304,40 @@ def stage_msa_50k():
             "msa_50k_vs_ref_36.6s": round(36.6 / dt, 1)}
 
 
+def stage_msa_200k():
+    """3 x 200 kbp native MSA -- the TOP of the reference's documented
+    50k-200k bp practical window (README.md:43-44).  Runs CHUNKED
+    (checkpoint/rematerialise; the O(N x n) words plane would need
+    ~80 GB).  The reference binary cannot run this size on this machine
+    at all: its three per-node traceback planes need ~124 GB host RAM
+    (c-t-simd.c:1003-1017) vs 125 GB total -- measured OOM-killed."""
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.ops import msa_native
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(bases, 200000).tobytes()
+
+    def mut(s, rate):
+        s = np.frombuffer(s, np.uint8).copy()
+        m = rng.random(len(s)) < rate
+        s[m] = bases[rng.integers(0, 4, m.sum())]
+        return np.delete(s, rng.integers(0, len(s), len(s) // 50)).tobytes()
+
+    seqs = [base, mut(base, 0.05), mut(base, 0.08)]
+    params = AlignParams()
+    msa_native.align_seqs(seqs, params)   # warm
+    t0 = time.perf_counter()
+    out = msa_native.align_seqs(seqs, params)
+    dt = time.perf_counter() - t0
+    glen = [len(seqs[0])] + out.graph_len[:-1]
+    cells = sum(g * len(s) for g, s in zip(glen, seqs[1:]))
+    return {"msa_native_200k_wall_s": round(dt, 3),
+            "msa_native_200k_gcups": round(cells / dt / 1e9, 3),
+            "msa_200k_vs_ref_456.6s": round(456.6 / dt, 1)}
+
+
 def stage_msa_compat():
     from tsta_tpu.config import AlignParams
     from tsta_tpu.models import msa as msa_model
@@ -327,6 +361,7 @@ STAGES = {
     "batch128": lambda: stage_batch(128),
     "msa_fleet": stage_msa_fleet,
     "int16_probe": stage_int16_probe,
+    "msa_200k": stage_msa_200k,
 }
 
 
@@ -389,6 +424,7 @@ PLAN = [
     ("batch128", [60, 120, 240], 30),
     ("msa_fleet", [90, 180], 40),
     ("int16_probe", [60, 300], 30),
+    ("msa_200k", [150, 300], 60),
 ]
 
 

@@ -78,14 +78,24 @@ def align_pair(seq1: bytes, seq2: bytes, params: AlignParams = AlignParams(),
 
 
 def _use_pallas(a, b, traced) -> bool:
-    """Heuristic: the Pallas kernel pays off on TPU for larger problems."""
+    """Measured routing (r4 crossover probe, scripts/crossover_probe.py,
+    v5e warm, single pair): TRACED, the packed P=1 chain wins at every
+    length (24.9 vs 28.2 ms even at 128 bp; the scan path's plane
+    transfer + host decode blows up past ~2 kbp: 147 ms at 2 k, 1.78 s
+    at 8 k).  SCORE-ONLY, both are tunnel-RTT-bound below ~5 kbp and
+    the scan oracle's leaner dispatch wins (26-45 vs 47-53 ms); the
+    packed kernel takes over between 4 k and 8 k (72.7 vs 52.9 ms at
+    8 k).  The old 1024 threshold was an unmeasured guess (r3 verdict
+    item 7)."""
     try:
         import jax
         if jax.default_backend() not in ("tpu",):
             return False
     except Exception:
         return False
-    return min(a.shape[0], b.shape[0]) >= 1024
+    if traced:
+        return True
+    return min(a.shape[0], b.shape[0]) >= 5120
 
 
 def align_files(path1: str, path2: str, params: AlignParams = AlignParams(),

@@ -382,6 +382,14 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         input_output_aliases={7: 2},
+        # the kernel's VMEM working set (gather buffer, staging, H/E/w
+        # carries, row temporaries) scales with Rp and crosses the
+        # compiler's default 16 MB scoped-vmem budget around Rp ~1300
+        # (n ~165 kbp); raise the cap so the documented 200 kbp window
+        # top (reference README.md:43-44) compiles -- v5e has 128 MB
+        # VMEM and this kernel schedules its own DMAs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((max_in, 2 * Rp, LANES), jnp.int32),  # gathered H+E
             pltpu.VMEM((1, 2 * Rp, LANES), jnp.int32),       # state staging
