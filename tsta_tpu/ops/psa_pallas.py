@@ -585,7 +585,7 @@ def _traced_chain(a2d, bcol, nm, n_pad, m_pad, params, banded=False):
 def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
                   lin_ref,
                   plane_ref, h_ref, e_ref, best_ref, last_acc_ref,
-                  *, R, params):
+                  *, R, params, t_b=T_R):
     """Row-chunk of the traced DP.  nm_ref: (1, 3) = [n_real, m_real,
     row_base]; h/e/best/last are ALIASED in/out (R, LANES) state.  Same
     row math as _kernel (traced=True), global row = row_base + local."""
@@ -633,7 +633,7 @@ def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
         return jnp.maximum(x, seg_excl)
 
     def row_body(r, _):
-        i = row_base + blk * T_R + r  # global row
+        i = row_base + blk * t_b + r  # global row
         h_prev = h_ref[:]
         e_prev = e_ref[:]
         b_i = b_ref[r, 0]
@@ -670,7 +670,7 @@ def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
         plane_ref[r] = (back * 9 + fcode * 3 + ecode).astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, T_R, row_body, 0)
+    jax.lax.fori_loop(0, t_b, row_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -680,17 +680,26 @@ def _psa_chunk_call(a2d, bcol_c, nm3, hst, est, bst, lst, n_pad, mc,
     """One mc-row chunk of the traced DP; state (h, e, best, last)
     carries in place via input/output aliasing."""
     R = n_pad // LANES
-    kernel = functools.partial(_kernel_chunk, R=R, params=params)
+    # rows-per-grid-step shrinks with pair width so the plane block
+    # (t_b, R, LANES) x2 pipeline buffers stay inside scoped VMEM -- at
+    # 100 kbp the fixed T_R block was 25.6 MB x2 = a 49 MB stack ask
+    # that could never compile (r4: this path had only ever run at test
+    # sizes on hardware)
+    t_b = T_R
+    while t_b > 8 and t_b * n_pad > (4 << 20):
+        t_b //= 2
+    kernel = functools.partial(_kernel_chunk, R=R, params=params,
+                               t_b=t_b)
     vm = pl.BlockSpec((R, LANES), lambda i: (0, 0),
                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(mc // T_R,),
+        grid=(mc // t_b,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),      # n/m/base
-            pl.BlockSpec((T_R, 1), lambda i: (i, 0),
+            pl.BlockSpec((t_b, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),      # b rows (chunk)
             vm,                                         # a columns
             vm, vm, vm, vm,                             # h/e/best/last in
@@ -703,11 +712,13 @@ def _psa_chunk_call(a2d, bcol_c, nm3, hst, est, bst, lst, n_pad, mc,
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # last
         ),
         out_specs=(
-            pl.BlockSpec((T_R, R, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_b, R, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm,
         ),
         input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(nm3, bcol_c, a2d, hst, est, bst, lst)
 
 
@@ -777,27 +788,48 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
     lastnp = np.asarray(last).reshape(-1)
     corner = int(lastnp[n_real - 1])
 
-    # backward: walk chunk by chunk, rematerialising planes on demand
+    # backward: walk chunk by chunk, rematerialising planes on demand.
+    # Pipelined (r3 verdict item 5): before SYNCING chunk c's walk, the
+    # rematerialisation DP for chunk c-1 is already DISPATCHED -- the
+    # walk almost always exits into the adjacent chunk, so the host
+    # sync of walk(c) overlaps remat(c-1)'s device execution and the
+    # per-chunk dispatch RTT disappears from the critical path.  A
+    # vertical gap run that skips a whole chunk wastes one speculative
+    # remat (its plane is dropped); at most 3 chunk planes are live at
+    # once, inside the mc budget (2 * (mc*2) * n_pad <= budget // 4).
+    def remat(c):
+        h0, e0 = snaps[c]
+        nm3 = jnp.asarray([[n_real, m_real, c * mc]], dtype=np.int32)
+        plane_c, _, _, _, _ = _psa_chunk_call(
+            a2d, jnp.asarray(bcol[c * mc:(c + 1) * mc]), nm3,
+            h0, e0, jnp.full((R, LANES), NEG, jnp.int32),
+            jnp.full((R, LANES), NEG, jnp.int32), n_pad, mc, p)
+        return plane_c
+
     maxlen = m_pad + n_pad
     moves = jnp.zeros((maxlen,), jnp.int8)
     zrow = jnp.zeros((n_pad,), jnp.int8)
     i, j, t, forced = m_real - 1, n_real - 1, 0, 0
     c = (m_real - 1) // mc
+    pending: dict = {}
+    if c == nchunks - 1 and plane_last is not None:
+        pending[c] = plane_last
     while i >= 0 or j >= 0:
-        if c == nchunks - 1 and plane_last is not None:
-            plane_c = plane_last
-        else:
-            h0, e0 = snaps[c]
-            nm3 = jnp.asarray([[n_real, m_real, c * mc]], dtype=np.int32)
-            plane_c, _, _, _, _ = _psa_chunk_call(
-                a2d, jnp.asarray(bcol[c * mc:(c + 1) * mc]), nm3,
-                h0, e0, jnp.full((R, LANES), NEG, jnp.int32),
-                jnp.full((R, LANES), NEG, jnp.int32), n_pad, mc, p)
+        plane_c = pending.pop(c, None)
+        if plane_c is None:
+            plane_c = remat(c)
+        pending.clear()   # drop stale speculative planes (skipped chunks)
         prev_row = last_rows[c - 1] if c > 0 else zrow
-        i_d, j_d, t_d, forced_d, moves = tb._decode_moves_bounded(
+        # dispatch walk(c) FIRST, then the speculative remat(c-1), THEN
+        # sync: the device finishes walk(c) (unblocking the host) and
+        # keeps executing remat(c-1) while the host decodes + dispatches
+        pend_walk = tb._decode_moves_bounded(
             plane_c.reshape(mc, n_pad), jnp.int32(i), jnp.int32(j),
             jnp.int32(t), jnp.int32(forced), moves, jnp.int32(c * mc),
             prev_row)
+        if c > 0:
+            pending[c - 1] = remat(c - 1)
+        i_d, j_d, t_d, forced_d, moves = pend_walk
         i, j, t, forced = int(i_d), int(j_d), int(t_d), int(forced_d)
         if i < 0:
             break
