@@ -95,3 +95,32 @@ def test_cross_engine_scores_fuzz(seed):
     c = msa.align_seqs(seqs, AlignParams(), engine="compat")
     n = msa.align_seqs(seqs, AlignParams(), engine="native")
     assert c.round_scores == n.round_scores
+
+
+def test_native_toposort_matches_python(monkeypatch):
+    """native/poa_fast.c's Kahn emits the BIT-IDENTICAL order to the
+    Python implementation (round-score parity depends on it), across
+    progressive fuzz graphs with variant rings."""
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(41)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(4):
+        base = rng.choice(bases, int(rng.integers(150, 400))).tobytes()
+        seqs = [base]
+        for _ in range(3):
+            s = np.frombuffer(base, np.uint8).copy()
+            m = rng.random(len(s)) < 0.12
+            s[m] = bases[rng.integers(0, 4, m.sum())]
+            seqs.append(np.delete(
+                s, rng.integers(0, len(s), len(s) // 25)).tobytes())
+        monkeypatch.setenv("TSTA_NATIVE_TOPO", "force")
+        out_c = msa_native.align_seqs(seqs, AlignParams())
+        monkeypatch.setenv("TSTA_NATIVE_TOPO", "0")
+        out_py = msa_native.align_seqs(seqs, AlignParams())
+        assert out_c.round_scores == out_py.round_scores
+        assert out_c.rows == out_py.rows
+        assert out_c.consensus == out_py.consensus

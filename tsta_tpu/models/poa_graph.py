@@ -93,8 +93,21 @@ class PoaGraph:
 
     def toposort(self) -> List[int]:
         """Deterministic Kahn order, keeping aligned-variant rings
-        adjacent so they share an output column."""
+        adjacent so they share an output column.
+
+        Runs the NATIVE Kahn (native/poa_fast.c, bit-identical order --
+        the engines' round-score parity depends on it) when available;
+        the Python path below remains the semantics reference and the
+        fallback for the rare variants-not-ready case the C main path
+        does not replicate.  TSTA_NATIVE_TOPO=0 opts out."""
+        import os
         n = len(self)
+        gate = os.environ.get("TSTA_NATIVE_TOPO", "1")
+        if gate not in ("", "0") and (n > 2048 or gate == "force"):
+            order = self._toposort_native(n)
+            if order is not None:
+                self.topo = order
+                return order
         indeg = [len(p) for p in self.preds]
         succs = self.succs()
         ready = [v for v in range(n) if indeg[v] == 0]
@@ -135,6 +148,42 @@ class PoaGraph:
                             ready.sort()
         self.topo = order
         return order
+
+    def _toposort_native(self, n: int) -> Optional[List[int]]:
+        """CSR-marshal the graph and run the C Kahn; None on any
+        shortfall (library unavailable, or the C main path placed fewer
+        than n nodes -- the caller's Python fallback handles those)."""
+        try:
+            from tsta_tpu.native.build import load_poa
+            lib = load_poa()
+        except Exception:  # pragma: no cover - toolchain-less host
+            return None
+        import ctypes
+        nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
+        ne = int(nd.sum())
+        flat = np.fromiter((p for ps in self.preds for p in ps),
+                           np.int64, ne)
+        dst = np.repeat(np.arange(n, dtype=np.int64), nd)
+        srt = np.argsort(flat, kind="stable")   # successors CSR by src
+        sidx = np.ascontiguousarray(dst[srt])
+        sptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(flat, minlength=n), out=sptr[1:])
+        vn = np.fromiter((len(v) for v in self.variants), np.int64, n)
+        vidx = np.fromiter((w for vs in self.variants for w in vs),
+                           np.int64, int(vn.sum()))
+        vptr = np.zeros(n + 1, np.int64)
+        np.cumsum(vn, out=vptr[1:])
+        order = np.empty(n, np.int64)
+        lp = ctypes.POINTER(ctypes.c_long)
+
+        def P(a):
+            return a.ctypes.data_as(lp)
+
+        placed = lib.tsta_poa_toposort(n, P(sptr), P(sidx), P(nd),
+                                       P(vptr), P(vidx), P(order))
+        if placed != n:
+            return None
+        return order.tolist()
 
     def sinks(self) -> List[int]:
         return [v for v, ss in enumerate(self.succs()) if not ss]

@@ -125,3 +125,21 @@ def load_seqio() -> ctypes.CDLL:
         lib.tsta_seqio_free.argtypes = [ctypes.POINTER(SeqIndexStruct)]
         _SEQIO_LIB = lib
         return lib
+
+
+_POA_LIB = None
+
+
+def load_poa() -> ctypes.CDLL:
+    """Compile (if needed) and load the native POA graph helpers."""
+    global _POA_LIB
+    with _LOCK:
+        if _POA_LIB is not None:
+            return _POA_LIB
+        lib = _load_cached("poa_fast.c", "tsta_poa")
+        lp = ctypes.POINTER(ctypes.c_long)
+        lib.tsta_poa_toposort.restype = ctypes.c_long
+        lib.tsta_poa_toposort.argtypes = [ctypes.c_long, lp, lp, lp, lp,
+                                          lp, lp]
+        _POA_LIB = lib
+        return lib

@@ -757,15 +757,18 @@ def _psa_diff_call(a32, brows, cmask, mlast, flags, n_pad, m_pad, P, params,
 
 PLANE_BLK_BYTES = 2 << 20   # target VMEM bytes for one (t_b, S, LANES)
                             # plane block (x2 for pipelining)
-P_CAP_TRACED = 8   # max pairs per traced dispatch: P=16 (S=1280) puts
-                   # the plane block + 4 int32 scratch tiles 0.6 MB over
-                   # the 16 MB scoped-VMEM limit (probed on v5e);
-                   # larger batches split into pipelined groups
-S_CAP_TRACED = 640  # max packed sublanes per traced dispatch -- the
-                    # same scoped-VMEM wall in terms of S (all VMEM
-                    # consumers scale with S, not P): long-pair groups
-                    # (e.g. 8 x 20 kbp = S 1280) must shrink P; a
-                    # single pair past S_CAP routes to the chunked path
+P_CAP_TRACED = 8   # max pairs per traced dispatch.  r3 pinned this at
+                   # the 16 MB scoped-VMEM compile wall; r4 lifted that
+                   # wall (vmem_limit_bytes=100M below) and re-measured:
+                   # P=16 (S=1280) now COMPILES but runs 17.0 vs 18.6
+                   # GCUPS per group (more VMEM pressure in the row
+                   # body), so 8 stays on merit -- larger batches split
+                   # into pipelined groups
+S_CAP_TRACED = 640  # max packed sublanes per traced dispatch (same
+                    # probe: bigger S is slower per cell, and all VMEM
+                    # consumers scale with S): long-pair groups (e.g.
+                    # 8 x 20 kbp = S 1280) shrink P; a single pair past
+                    # S_CAP routes to the chunked path
 
 
 def _traced_t_b(S):
@@ -823,6 +826,10 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
             pltpu.VMEM((S, LANES), jnp.int32),   # best accumulator
             pltpu.VMEM((S, 1), jnp.int32),       # corner
         ],
+        # lift the 16 MB scoped-VMEM default (it set P_CAP_TRACED=8 and
+        # S_CAP_TRACED=640 in r3); v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(brows, a32, nm)
 
 
