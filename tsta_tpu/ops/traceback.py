@@ -622,8 +622,8 @@ _BAND_WS = 16   # packed-walk band segments (x128 cells each; multiple
                 # >= (WS-8)*128 cells walkable left per fetch)
 
 
-@functools.partial(jax.jit, static_argnames=("Rp", "spec"))
-def _decode_moves_banded_packed(plane, nm, Rp, spec=True):
+@functools.partial(jax.jit, static_argnames=("Rp", "spec", "U"))
+def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8):
     """Pallas banded walk over the grouped row-word plane
     (m_pad // 4, S, LANES) int32 from psa_diff._psa_diff_traced_call.
     Returns (words, counts): words (P, packed_words_len(m_pad + n_pad))
@@ -648,7 +648,7 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True):
     WS = min(_BAND_WS, S)
     kernel = functools.partial(_walk_kernel_packed, m_w=m_w, Rp=Rp,
                                S=S, WS=WS, band_r=band_r,
-                               U=8 if spec else 1)
+                               U=U if spec else 1)
     words, counts = pl.pallas_call(
         kernel,
         grid=(P,),
