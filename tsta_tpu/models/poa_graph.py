@@ -33,12 +33,17 @@ class PoaGraph:
     # host path several times per MSA round; None = rebuild on demand)
     _succs: Optional[List[List[int]]] = dataclasses.field(
         default=None, repr=False, compare=False)
+    # flattened predecessor CSR cache (nd, ptr, flat) shared by
+    # toposort/_prepare/msa_rows; invalidated on any edge mutation
+    _csr: Optional[tuple] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def __len__(self) -> int:
         return len(self.bases)
 
     def add_node(self, base: int, seq_no: int,
                  preds: Optional[List[int]] = None) -> int:
+        self._csr = None
         idx = len(self.bases)
         self.bases.append(int(base))
         self.preds.append(list(preds or []))
@@ -56,6 +61,7 @@ class PoaGraph:
     def add_edge(self, src: int, dst: int, w: int = 1) -> None:
         if src < 0:
             return
+        self._csr = None
         try:
             k = self.preds[dst].index(src)
             self.weights[dst][k] += w
@@ -81,6 +87,21 @@ class PoaGraph:
         g.variants = [[] for _ in range(n)]
         g.topo = list(range(n))
         return g
+
+    def csr(self):
+        """Flattened predecessor CSR ``(nd, ptr, flat)`` (int64; node
+        order), cached until the next edge mutation -- the flatten of
+        the Python adjacency lists is a measurable host cost at 50k+
+        nodes and toposort/_prepare/msa_rows each need it."""
+        if self._csr is None:
+            n = len(self)
+            nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
+            ptr = np.zeros(n + 1, np.int64)
+            np.cumsum(nd, out=ptr[1:])
+            flat = np.fromiter((p for ps in self.preds for p in ps),
+                               np.int64, int(ptr[-1]))
+            self._csr = (nd, ptr, flat)
+        return self._csr
 
     def succs(self) -> List[List[int]]:
         if self._succs is None:
@@ -159,10 +180,7 @@ class PoaGraph:
         except Exception:  # pragma: no cover - toolchain-less host
             return None
         import ctypes
-        nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
-        ne = int(nd.sum())
-        flat = np.fromiter((p for ps in self.preds for p in ps),
-                           np.int64, ne)
+        nd, _, flat = self.csr()
         dst = np.repeat(np.arange(n, dtype=np.int64), nd)
         srt = np.argsort(flat, kind="stable")   # successors CSR by src
         sidx = np.ascontiguousarray(dst[srt])
@@ -326,10 +344,9 @@ class PoaGraph:
         ng = roots.shape[0]
         rank = np.full(ng, n, np.int64)
         np.minimum.at(rank, gidx, topo_rank)
-        nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
+        nd, _, flat = self.csr()
         if int(nd.sum()):
-            src = np.fromiter((p for ps in self.preds for p in ps),
-                              np.int64, int(nd.sum()))
+            src = flat
             dst = np.repeat(np.arange(n, dtype=np.int64), nd)
             ga, gb = gidx[src], gidx[dst]
             keep = ga != gb

@@ -141,5 +141,16 @@ def load_poa() -> ctypes.CDLL:
         lib.tsta_poa_toposort.restype = ctypes.c_long
         lib.tsta_poa_toposort.argtypes = [ctypes.c_long, lp, lp, lp, lp,
                                           lp, lp]
+        setup_poa_symbols(lib)
         _POA_LIB = lib
         return lib
+
+
+def setup_poa_symbols(lib):
+    """argtypes for poa_fast.c beyond toposort (idempotent)."""
+    lp = ctypes.POINTER(ctypes.c_long)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.tsta_poa_hm1.restype = None
+    lib.tsta_poa_hm1.argtypes = [ctypes.c_long, ctypes.c_long, ip, lp,
+                                 ctypes.c_long, ctypes.c_long, lp]
+    return lib

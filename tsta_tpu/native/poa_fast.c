@@ -107,3 +107,30 @@ long tsta_poa_toposort(long n, const long *sptr, const long *sidx,
   free(group);
   return count;
 }
+
+/* Boundary column H(v,-1) recurrence (ops/msa_pallas._prepare): in topo
+ * order, hm1[i+1] = o+e for sources, else max over preds' hm1 plus e --
+ * preds[] entries are buffer ids (topo pos + 1; 0 = the virtual row,
+ * hm1[0] = 0), so they index hm1 directly.  The Python version
+ * vectorises chain runs but still pays ~25-30 ms of per-breaker work
+ * at 50k nodes; this is the same recurrence in one pass. */
+void tsta_poa_hm1(long n_real, long max_in, const int *preds,
+                  const long *lens, long e, long o, long *hm1) {
+  hm1[0] = 0;
+  for (long i = 0; i < n_real; i++) {
+    long li = lens[i];
+    long v;
+    if (li == 0) {
+      v = o + e;
+    } else {
+      const int *row = preds + i * max_in;
+      long mx = hm1[row[0]];
+      for (long k = 1; k < li; k++) {
+        long x = hm1[row[k]];
+        if (x > mx) mx = x;
+      }
+      v = mx + e;
+    }
+    hm1[i + 1] = v;
+  }
+}

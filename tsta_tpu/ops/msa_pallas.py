@@ -677,6 +677,29 @@ def _walk_banded_ok(N, max_in, n, Rp):
             and (Rp <= _WBAND_S or Rp % 8 == 0))
 
 
+def _hm1_native(N_real, max_in, preds, lens, e_, o_, hm1) -> bool:
+    """Run the H(v,-1) recurrence in C (native/poa_fast.c); False when
+    the library is unavailable (caller falls back to Python)."""
+    import os
+    if os.environ.get("TSTA_NATIVE_TOPO", "1") in ("", "0"):
+        return False
+    try:
+        from tsta_tpu.native.build import load_poa
+        lib = load_poa()
+    except Exception:  # pragma: no cover - toolchain-less host
+        return False
+    import ctypes
+    lens64 = np.ascontiguousarray(lens, np.int64)
+    preds32 = np.ascontiguousarray(preds, np.int32)
+    lib.tsta_poa_hm1(
+        N_real, max_in,
+        preds32.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lens64.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        int(e_), int(o_),
+        hm1.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    return True
+
+
 def _prepare(g, params):
     """Dense tensors for the kernel (host side; mirrors
     msa_native._prepare_round but flattens boundaries per pred)."""
@@ -701,17 +724,19 @@ def _prepare(g, params):
 
     # vectorised dense tensors (the per-node Python loop was a visible
     # host fraction at 50k+ nodes); pred ORDER is preserved -- the
-    # argmax tie-breaking depends on it
+    # argmax tie-breaking depends on it.  The node-order CSR comes from
+    # the graph's cache (shared with toposort; the flatten of the
+    # Python adjacency lists was ~20 ms/round at 50k) and is gathered
+    # into topo order here.
     order_arr = np.asarray(order, np.int64)
     pos = np.empty(len(g), np.int64)
     pos[order_arr] = np.arange(N_real)
-    lens = np.fromiter((len(g.preds[v]) for v in order), np.int64,
-                       N_real)
+    nd_all, ptr_all, flat_all = g.csr()
+    lens = nd_all[order_arr]
     n_edges = int(lens.sum())
-    flat = np.fromiter((pv for v in order for pv in g.preds[v]),
-                       np.int64, n_edges)
     rowi = np.repeat(np.arange(N_real), lens)
     coli = np.arange(n_edges) - np.repeat(np.cumsum(lens) - lens, lens)
+    flat = flat_all[np.repeat(ptr_all[order_arr], lens) + coli]
     preds = np.zeros((N, max_in), np.int32)
     pmask = np.zeros((N, max_in), np.int32)
     preds[rowi, coli] = pos[flat] + 1
@@ -721,29 +746,29 @@ def _prepare(g, params):
     bases = np.zeros((N, 1), np.int32)
     bases[:N_real, 0] = np.asarray(g.bases, np.int32)[order_arr]
     maxdist = int(max(1, (rowi - pos[flat]).max())) if n_edges else 1
-    # boundary H(v,-1) follows the shortest pred chain: a sequential
-    # topo recurrence.  ~95% of POA nodes are chain nodes (single pred
-    # = previous topo row), so runs of chain nodes vectorise as a
-    # cumulative e-ramp; only run-breaking nodes stay in Python
-    # (round-2 verdict: _prepare's hm1 loop was the visible host
-    # fraction at 50k+ nodes).
+    # boundary H(v,-1): sequential topo recurrence over preds
+    # (native/poa_fast.c tsta_poa_hm1; the Python chain-run
+    # vectorisation below remains the fallback)
     hm1 = np.full((N + 1,), NEG, np.int64)
     hm1[0] = 0
-    chain = np.zeros((N_real,), bool)
-    if N_real:
-        chain = (lens == 1) & (preds[:N_real, 0] == np.arange(N_real))
-    breakers = np.flatnonzero(~chain)
-    nxt = 0
-    for i in breakers:
-        if i > nxt:   # chain run [nxt, i): ramp from hm1[nxt]
-            hm1[nxt + 1:i + 1] = hm1[nxt] + e_ * np.arange(1, i - nxt + 1)
-        li = lens[i]
-        hm1[i + 1] = (o_ + e_ if li == 0
-                      else hm1[preds[i, :li]].max() + e_)
-        nxt = i + 1
-    if N_real > nxt:
-        hm1[nxt + 1:N_real + 1] = (hm1[nxt]
-                                   + e_ * np.arange(1, N_real - nxt + 1))
+    if not _hm1_native(N_real, max_in, preds, lens, e_, o_, hm1):
+        chain = np.zeros((N_real,), bool)
+        if N_real:
+            chain = (lens == 1) & (preds[:N_real, 0]
+                                   == np.arange(N_real))
+        breakers = np.flatnonzero(~chain)
+        nxt = 0
+        for i in breakers:
+            if i > nxt:   # chain run [nxt, i): ramp from hm1[nxt]
+                hm1[nxt + 1:i + 1] = (hm1[nxt]
+                                      + e_ * np.arange(1, i - nxt + 1))
+            li = lens[i]
+            hm1[i + 1] = (o_ + e_ if li == 0
+                          else hm1[preds[i, :li]].max() + e_)
+            nxt = i + 1
+        if N_real > nxt:
+            hm1[nxt + 1:N_real + 1] = (
+                hm1[nxt] + e_ * np.arange(1, N_real - nxt + 1))
     hm1 = hm1.astype(np.int32)
     # per-pred boundary H(p,-1) and per-node own H(v,-1), (rows, N)
     hm1p = np.where(pmask.T != 0, hm1[preds.T], np.int32(NEG32))
