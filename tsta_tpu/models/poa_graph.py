@@ -89,18 +89,29 @@ class PoaGraph:
         return g
 
     def csr(self):
-        """Flattened predecessor CSR ``(nd, ptr, flat)`` (int64; node
-        order), cached until the next edge mutation -- the flatten of
-        the Python adjacency lists is a measurable host cost at 50k+
-        nodes and toposort/_prepare/msa_rows each need it."""
+        """Flattened adjacency ``(nd, ptr, flat, wflat, sptr, sidx)``
+        (all int64; node order): predecessor CSR + edge weights +
+        successor CSR.  Cached until the next edge mutation (add_edge
+        weight bumps also invalidate, so ``wflat`` stays current) --
+        the flatten of the Python adjacency lists is a measurable host
+        cost at 50k+ nodes and toposort/_prepare/msa_rows/consensus
+        each need some of it."""
         if self._csr is None:
             n = len(self)
             nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
             ptr = np.zeros(n + 1, np.int64)
             np.cumsum(nd, out=ptr[1:])
+            ne = int(ptr[-1])
             flat = np.fromiter((p for ps in self.preds for p in ps),
-                               np.int64, int(ptr[-1]))
-            self._csr = (nd, ptr, flat)
+                               np.int64, ne)
+            wflat = np.fromiter((w for ws in self.weights for w in ws),
+                                np.int64, ne)
+            dst = np.repeat(np.arange(n, dtype=np.int64), nd)
+            srt = np.argsort(flat, kind="stable")
+            sidx = np.ascontiguousarray(dst[srt])
+            sptr = np.zeros(n + 1, np.int64)
+            np.cumsum(np.bincount(flat, minlength=n), out=sptr[1:])
+            self._csr = (nd, ptr, flat, wflat, sptr, sidx)
         return self._csr
 
     def succs(self) -> List[List[int]]:
@@ -170,6 +181,30 @@ class PoaGraph:
         self.topo = order
         return order
 
+    def _rank_kahn_native(self, ng, rank, indeg, eptr, gb, emit_pos):
+        """C rank-keyed Kahn for msa_rows' condensed column DAG;
+        returns ncols or None (library unavailable / cycle -- the
+        Python paths handle both).  TSTA_NATIVE_TOPO=0 opts out."""
+        import os
+        if os.environ.get("TSTA_NATIVE_TOPO", "1") in ("", "0"):
+            return None
+        try:
+            from tsta_tpu.native.build import load_poa
+            lib = load_poa()
+        except Exception:  # pragma: no cover - toolchain-less host
+            return None
+        import ctypes
+        lp = ctypes.POINTER(ctypes.c_long)
+
+        def P(a):
+            return np.ascontiguousarray(a, np.int64).ctypes.data_as(lp)
+
+        ncols = lib.tsta_poa_rank_kahn(int(ng), P(rank), P(indeg),
+                                       P(eptr), P(gb), P(emit_pos))
+        if ncols < 0:
+            return None
+        return int(ncols)
+
     def _toposort_native(self, n: int) -> Optional[List[int]]:
         """CSR-marshal the graph and run the C Kahn; None on any
         shortfall (library unavailable, or the C main path placed fewer
@@ -180,12 +215,7 @@ class PoaGraph:
         except Exception:  # pragma: no cover - toolchain-less host
             return None
         import ctypes
-        nd, _, flat = self.csr()
-        dst = np.repeat(np.arange(n, dtype=np.int64), nd)
-        srt = np.argsort(flat, kind="stable")   # successors CSR by src
-        sidx = np.ascontiguousarray(dst[srt])
-        sptr = np.zeros(n + 1, np.int64)
-        np.cumsum(np.bincount(flat, minlength=n), out=sptr[1:])
+        nd, _, _, _, sptr, sidx = self.csr()
         vn = np.fromiter((len(v) for v in self.variants), np.int64, n)
         vidx = np.fromiter((w for vs in self.variants for w in vs),
                            np.int64, int(vn.sum()))
@@ -241,6 +271,16 @@ class PoaGraph:
         emitting a truncated consensus from a stuck non-sink."""
         n = len(self)
         topo = self.topo
+        native = self._consensus_native(n)
+        if native is not None:
+            top, cfrom_arr = native
+            out = bytearray()
+            v = top
+            while v >= 0:
+                out.append(self.bases[v])
+                v = int(cfrom_arr[v])
+            out.reverse()
+            return bytes(out)
         pos = {v: i for i, v in enumerate(topo)}
         succs = self.succs()
         sinks = {v for v in range(n) if not succs[v]}
@@ -290,6 +330,38 @@ class PoaGraph:
             v = cfrom[v]
         out.reverse()
         return bytes(out)
+
+    def _consensus_native(self, n: int):
+        """C consensus scoring (native/poa_fast.c tsta_poa_consensus,
+        same rescore/modify semantics); returns (top, cfrom) or None
+        (library unavailable, empty graph, or the 4n+4 modify bound
+        exhausted -- the Python path then applies its best-sink
+        rescue).  TSTA_NATIVE_TOPO=0 opts out."""
+        import os
+        if n == 0 or os.environ.get("TSTA_NATIVE_TOPO", "1") in ("",
+                                                                 "0"):
+            return None
+        try:
+            from tsta_tpu.native.build import load_poa
+            lib = load_poa()
+        except Exception:  # pragma: no cover - toolchain-less host
+            return None
+        import ctypes
+        nd, ptr, flat, wflat, sptr, sidx = self.csr()
+        topo_arr = np.ascontiguousarray(self.topo, np.int64)
+        score = np.zeros(n, np.int64)
+        cfrom = np.full(n, -1, np.int64)
+        lp = ctypes.POINTER(ctypes.c_long)
+
+        def P(a):
+            return a.ctypes.data_as(lp)
+
+        top = lib.tsta_poa_consensus(n, P(topo_arr), P(ptr), P(flat),
+                                     P(wflat), P(sptr), P(sidx),
+                                     P(score), P(cfrom))
+        if top < 0:
+            return None
+        return int(top), cfrom
 
     def msa_rows(self) -> List[bytes]:
         """Row-wise MSA: one column per variant ring (reference
@@ -344,7 +416,7 @@ class PoaGraph:
         ng = roots.shape[0]
         rank = np.full(ng, n, np.int64)
         np.minimum.at(rank, gidx, topo_rank)
-        nd, _, flat = self.csr()
+        nd, _, flat = self.csr()[:3]
         if int(nd.sum()):
             src = flat
             dst = np.repeat(np.arange(n, dtype=np.int64), nd)
@@ -369,6 +441,10 @@ class PoaGraph:
         if ng == n and not nvar.any():
             emit_pos[gidx[topo]] = np.arange(n)
             ncols = n
+        elif (ncols := self._rank_kahn_native(
+                ng, rank, indeg, eptr, gb, emit_pos)) is not None:
+            pass   # native rank-heap Kahn filled emit_pos (same order:
+            #        ranks are distinct, so (rank, g) order == rank order)
         else:
             rank_l = rank.tolist()
             indeg_l = indeg.tolist()

@@ -153,4 +153,9 @@ def setup_poa_symbols(lib):
     lib.tsta_poa_hm1.restype = None
     lib.tsta_poa_hm1.argtypes = [ctypes.c_long, ctypes.c_long, ip, lp,
                                  ctypes.c_long, ctypes.c_long, lp]
+    lib.tsta_poa_rank_kahn.restype = ctypes.c_long
+    lib.tsta_poa_rank_kahn.argtypes = [ctypes.c_long, lp, lp, lp, lp,
+                                       lp]
+    lib.tsta_poa_consensus.restype = ctypes.c_long
+    lib.tsta_poa_consensus.argtypes = [ctypes.c_long] + [lp] * 8
     return lib

@@ -134,3 +134,119 @@ void tsta_poa_hm1(long n_real, long max_in, const int *preds,
     hm1[i + 1] = v;
   }
 }
+
+/* Rank-keyed Kahn over the condensed column DAG
+ * (models/poa_graph.msa_rows): pops the ready group with the smallest
+ * topo rank (ranks are distinct, so the (rank, g) tuple order the
+ * Python heap uses reduces to rank order), assigns emit positions.
+ * Returns the number of groups emitted (== ng unless cyclic). */
+long tsta_poa_rank_kahn(long ng, const long *rank, const long *indeg_in,
+                        const long *eptr, const long *gb,
+                        long *emit_pos) {
+  if (ng <= 0) return 0;
+  long *indeg = (long *)malloc((size_t)ng * sizeof(long));
+  /* heap entries pack (rank, g): rank * (ng + 1) + g keeps order by
+   * rank (distinct) and decodes g exactly */
+  long *harr = (long *)malloc((size_t)ng * sizeof(long));
+  if (!indeg || !harr) {
+    free(indeg);
+    free(harr);
+    return -1;
+  }
+  memcpy(indeg, indeg_in, (size_t)ng * sizeof(long));
+  Heap h = {harr, 0};
+  long base = ng + 1;
+  for (long g = 0; g < ng; g++)
+    if (indeg[g] == 0) heap_push(&h, rank[g] * base + g);
+  long ncols = 0;
+  while (h.n > 0) {
+    long g = heap_pop(&h) % base;
+    emit_pos[g] = ncols++;
+    for (long k = eptr[g]; k < eptr[g + 1]; k++) {
+      long s = gb[k];
+      if (--indeg[s] == 0) heap_push(&h, rank[s] * base + s);
+    }
+  }
+  free(indeg);
+  free(harr);
+  return ncols;
+}
+
+/* Heaviest-bundle consensus scoring (models/poa_graph.consensus):
+ * rescore every node in topo order (max-edge-weight predecessor among
+ * non-negated ones; ties go to the later predecessor when its score is
+ * >= the held one), then the reference's modify loop (topo.c:119-177
+ * semantics): while the global best is not a sink, negate lighter
+ * competing predecessors of its successors and re-score downstream.
+ * Returns the trace start node, or -1 when the 4n+4 bound exhausts
+ * (the Python fallback then redoes the whole consensus, including its
+ * best-sink rescue).  score[] and cfrom[] are outputs. */
+static void poa_rescore(long v, const long *pptr, const long *pidx,
+                        const long *pw, long *score, long *cfrom) {
+  long mx = 0, mxj = -1;
+  for (long j = pptr[v]; j < pptr[v + 1]; j++) {
+    long p = pidx[j], w = pw[j];
+    if (score[p] >= 0) {
+      if (mx < w || (mx == w && mxj >= 0 && score[pidx[mxj]] <= score[p])) {
+        mx = w;
+        mxj = j;
+      }
+    }
+  }
+  if (mxj < 0) {
+    score[v] = 0;
+    cfrom[v] = -1;
+  } else {
+    score[v] = score[pidx[mxj]] + mx;
+    cfrom[v] = pidx[mxj];
+  }
+}
+
+long tsta_poa_consensus(long n, const long *topo, const long *pptr,
+                        const long *pidx, const long *pw,
+                        const long *sptr, const long *sidx,
+                        long *score, long *cfrom) {
+  if (n <= 0) return -1;
+  char *marked = (char *)calloc((size_t)n, 1);
+  long *pos = (long *)malloc((size_t)n * sizeof(long));
+  if (!marked || !pos) {
+    free(marked);
+    free(pos);
+    return -1;
+  }
+  for (long i = 0; i < n; i++) pos[topo[i]] = i;
+  for (long i = 0; i < n; i++)
+    poa_rescore(topo[i], pptr, pidx, pw, score, cfrom);
+  long top = -1;
+  long iter;
+  long bound = 4 * n + 4;
+  for (iter = 0; iter < bound; iter++) {
+    top = topo[0];
+    long mx = score[top];
+    for (long i = 0; i < n; i++) {
+      long v = topo[i];
+      if (score[v] >= mx) {
+        top = v;
+        mx = score[v];
+      }
+    }
+    if (sptr[top + 1] == sptr[top]) break;   /* top is a sink */
+    memset(marked, 0, (size_t)n);
+    for (long k = sptr[top]; k < sptr[top + 1]; k++) {
+      long nx = sidx[k];
+      for (long j = pptr[nx]; j < pptr[nx + 1]; j++) {
+        long p = pidx[j];
+        if (0 < score[p] && score[p] < score[top]) score[p] = -score[p];
+      }
+      marked[nx] = 1;
+    }
+    for (long i = pos[top] + 1; i < n; i++) {
+      long v = topo[i];
+      if (score[v] >= 0 || marked[v])
+        poa_rescore(v, pptr, pidx, pw, score, cfrom);
+    }
+  }
+  free(marked);
+  free(pos);
+  return iter >= bound ? -1 : top;
+}

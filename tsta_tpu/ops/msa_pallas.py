@@ -731,7 +731,7 @@ def _prepare(g, params):
     order_arr = np.asarray(order, np.int64)
     pos = np.empty(len(g), np.int64)
     pos[order_arr] = np.arange(N_real)
-    nd_all, ptr_all, flat_all = g.csr()
+    nd_all, ptr_all, flat_all = g.csr()[:3]
     lens = nd_all[order_arr]
     n_edges = int(lens.sum())
     rowi = np.repeat(np.arange(N_real), lens)
