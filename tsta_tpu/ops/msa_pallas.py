@@ -993,26 +993,42 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     masked = np.where(sink_mask, scores[0], NEG)
     best_row = int(np.argmax(masked))
 
-    # backward: rematerialise chunks on demand, walk inside each
+    # backward: rematerialise chunks on demand, walk inside each.
+    # Pipelined like psa_pallas.psa_align_traced_chunked's backward
+    # (r4): walk(c) is dispatched, THEN the speculative remat of chunk
+    # c-1, THEN the host sync -- the walk almost always exits into the
+    # adjacent chunk, so its remat executes while the host decodes and
+    # dispatches (at 200 kbp the round has ~50 chunks; the serial
+    # version paid a full remat wait per chunk on the critical path).
+    # A pred jump that skips a chunk just drops one speculative plane.
+    def remat(c):
+        sl = slice(c * NC, (c + 1) * NC)
+        scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
+        words_c, _, _ = _poa_chunk_call(
+            jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
+            jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
+            jnp.asarray(hm1own[:, sl]), scal, a2d, snaps[c],
+            NC, n, W, max_in, p)
+        return words_c
+
     preds_dev = jnp.asarray(preds)
     align = jnp.full((n,), -1, jnp.int32)
     row, j, state = best_row, n_real - 1, 0
+    pending: dict = {}
+    if words_last is not None:
+        pending[nchunks - 1] = words_last
     while row >= 0 and j >= 0:
         c = row // NC
-        if c == nchunks - 1 and words_last is not None:
-            words_c = words_last
-        else:
-            s0 = snaps[c]
-            sl = slice(c * NC, (c + 1) * NC)
-            scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-            words_c, _, _ = _poa_chunk_call(
-                jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
-                jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-                jnp.asarray(hm1own[:, sl]), scal, a2d, s0,
-                NC, n, W, max_in, p)
-        row_d, j_d, state_d, align = _walk_bounded(
+        words_c = pending.pop(c, None)
+        if words_c is None:
+            words_c = remat(c)
+        pending.clear()   # drop stale speculative planes
+        pend_walk = _walk_bounded(
             words_c, preds_dev, jnp.int32(row), jnp.int32(j),
             jnp.int32(state), align, jnp.int32(c * NC), n)
+        if c > 0:
+            pending[c - 1] = remat(c - 1)
+        row_d, j_d, state_d, align = pend_walk
         row, j, state = int(row_d), int(j_d), int(state_d)
     return scores, np.asarray(align), best_row, order
 
