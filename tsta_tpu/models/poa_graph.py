@@ -78,7 +78,8 @@ class PoaGraph:
         # so the initial Kahn pass is skipped too
         g = cls(n_seq=n_seq)
         n = len(seq)
-        g.bases = [int(c) for c in seq]
+        g.bases = list(seq) if isinstance(seq, (bytes, bytearray)) \
+            else [int(c) for c in seq]
         g.preds = [[]] + [[i - 1] for i in range(1, n)]
         g.weights = [[]] + [[1] for _ in range(max(n - 1, 0))]
         pass_mat = np.zeros((n, n_seq), dtype=bool)

@@ -188,30 +188,54 @@ def _walk_host(packed, h_pred, e_pred, preds_tensor, best_row: int,
 def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
            align_rows) -> int:
     """Merge ``seq`` into the graph given the per-position aligned node
-    rows (from either the host or device walk).  Returns nodes added."""
+    rows (from either the host or device walk).  Returns nodes added.
+
+    The loop is the hot host path of long-read rounds (~0.3 s/round at
+    200 kbp before r4): locals are bound once, the dominant case (an
+    aligned matching base whose chain edge already exists at pred slot
+    0) is a branch-light fast path, and add_edge's list .index() scan
+    is inlined for it."""
     n = len(seq)
     align = [order[r] if r >= 0 else None for r in align_rows]
     before = len(g)
+    bases = g.bases
+    passing = g.passing
+    variants = g.variants
+    preds = g.preds
+    weights = g.weights
+    add_node = g.add_node
+    add_edge = g.add_edge
     prev = -1
     for jj in range(n):
         v = align[jj]
-        if v is not None and g.bases[v] != seq[jj]:
+        ch = seq[jj]
+        if v is not None:
+            if bases[v] == ch:
+                passing[v][seq_no] = True
+                ps = preds[v]
+                if ps and ps[0] == prev:      # chain edge exists
+                    weights[v][0] += 1
+                    g._csr = None
+                else:
+                    add_edge(prev, v)
+                prev = v
+                continue
             # mismatch: reuse an aligned variant with this base or create
-            ring = g.variants[v]
-            cand = next((w for w in ring if g.bases[w] == seq[jj]), None)
+            ring = variants[v]
+            cand = next((w for w in ring if bases[w] == ch), None)
             if cand is None:
-                w = g.add_node(seq[jj], seq_no)
+                w = add_node(ch, seq_no)
                 full_ring = [v] + ring
                 for r in full_ring:
-                    g.variants[r] = g.variants[r] + [w]
-                g.variants[w] = full_ring
+                    variants[r] = variants[r] + [w]
+                variants[w] = full_ring
                 v = w
             else:
                 v = cand
-        if v is None:
-            v = g.add_node(seq[jj], seq_no)
-        g.passing[v][seq_no] = True
-        g.add_edge(prev, v)
+        else:
+            v = add_node(ch, seq_no)
+        passing[v][seq_no] = True
+        add_edge(prev, v)
         prev = v
     return len(g) - before
 

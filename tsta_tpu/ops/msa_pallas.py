@@ -416,8 +416,8 @@ def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
     return words, scores
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _walk_bounded(words_c, preds, row, j, state, align, base_row, n):
+def _walk_bounded_ops(words_c, preds, row, j, state, align, base_row,
+                      n):
     """Device traceback walk restricted to one node chunk: ``words_c``
     holds rows [base_row, base_row + NC); the walk runs until it leaves
     the chunk (row < base_row), finishes (j < 0), or runs off the
@@ -468,6 +468,34 @@ def _walk_bounded(words_c, preds, row, j, state, align, base_row, n):
         return jax.lax.switch(state, [h_case, e_case, f_case], None)
 
     return jax.lax.while_loop(cond, body, (row, j, state, align))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _walk_bounded(words_c, preds, row, j, state, align, base_row, n):
+    return _walk_bounded_ops(words_c, preds, row, j, state, align,
+                             base_row, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "NC"))
+def _walk_bounded2(words_hi, words_lo, preds, row, j, state, align,
+                   base_hi, n, NC):
+    """Walk TWO adjacent chunks in one dispatch: chunk at ``base_hi``
+    first, then -- when the walk exits into it -- the chunk at
+    ``base_hi - NC`` under a device cond.  Halves the per-chunk host
+    sync RTTs of the chunked backward (the alignment path crosses
+    every chunk, ~50 of them at 200 kbp)."""
+    row, j, state, align = _walk_bounded_ops(
+        words_hi, preds, row, j, state, align, base_hi, n)
+    base_lo = base_hi - NC
+
+    def lo(args):
+        r, jj, st, al = args
+        return _walk_bounded_ops(words_lo, preds, r, jj, st, al,
+                                 base_lo, n)
+
+    in_lo = jnp.logical_and(
+        jnp.logical_and(row >= base_lo, row < base_hi), j >= 0)
+    return jax.lax.cond(in_lo, lo, lambda a: a, (row, j, state, align))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -1023,11 +1051,22 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         if words_c is None:
             words_c = remat(c)
         pending.clear()   # drop stale speculative planes
-        pend_walk = _walk_bounded(
-            words_c, preds_dev, jnp.int32(row), jnp.int32(j),
-            jnp.int32(state), align, jnp.int32(c * NC), n)
         if c > 0:
-            pending[c - 1] = remat(c - 1)
+            # two chunks per dispatch + one speculative remat: halves
+            # the per-chunk sync RTTs AND keeps the next pair's first
+            # plane computing during this sync (only 2 word planes are
+            # ever live -- the budget sizes NC for exactly that)
+            words_lo = remat(c - 1)
+            pend_walk = _walk_bounded2(
+                words_c, words_lo, preds_dev, jnp.int32(row),
+                jnp.int32(j), jnp.int32(state), align,
+                jnp.int32(c * NC), n, NC)
+            if c > 1:
+                pending[c - 2] = remat(c - 2)
+        else:
+            pend_walk = _walk_bounded(
+                words_c, preds_dev, jnp.int32(row), jnp.int32(j),
+                jnp.int32(state), align, jnp.int32(c * NC), n)
         row_d, j_d, state_d, align = pend_walk
         row, j, state = int(row_d), int(j_d), int(state_d)
     return scores, np.asarray(align), best_row, order
