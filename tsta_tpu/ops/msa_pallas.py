@@ -28,10 +28,12 @@ docstring; tie-breaking replicated bit-for-bit):
   (matching jnp.argmax), then runs the same closed-form-F row body as
   the PSA kernels (masked lane prefix + cross-segment carry).
 * **Single-word traceback.**  h_type/e_ext/f_ext/h_pred/e_pred pack
-  into one int32 per cell (byte0 = packed flags, byte1 = h_pred,
-  byte2 = e_pred), written with one DMA per node; the walk runs ON
-  DEVICE (``walk_alignment``) so planes never cross the host link --
-  only the (n,)-long alignment column map does.
+  into 16 bits per cell, TWO nodes per int32 word (even node in the
+  low half -- the banded walk windows the plane's native layout, and
+  TPU dtype bitcasts are physical retilings), one DMA per node pair;
+  the walk runs ON DEVICE (the banded Pallas kernel ``_walk_banded``,
+  or the XLA ``_walk`` fallback) so planes never cross the host link
+  -- only the (n,)-long alignment column map does.
 
 Exactness is tested against _round_dp on CPU (interpret mode) and the
 engines agree end-to-end (tests/test_msa_pallas.py).
@@ -283,11 +285,11 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         h_type = jnp.where(h_row == diag, 0,
                            jnp.where(h_row == e_row, 1, 2))
 
-        # 16-bit word: flags(4) | h_pred(6) | e_pred(6).  int16 halves
-        # the O(N x n) traceback footprint (the scaling limit at the
-        # reference's documented 50k-200k bp window); max_in <= 64
-        # enforced host-side (the reference's own encoding caps at 42
-        # predecessors, c-t-simd.c:451-456).
+        # 16-bit half-word: flags(4) | h_pred(6) | e_pred(6) -- two
+        # nodes share one int32 (halving the O(N x n) footprint, the
+        # scaling limit at the reference's documented 50k-200k bp
+        # window); max_in <= 64 enforced host-side (the reference's
+        # own encoding caps at 42 predecessors, c-t-simd.c:451-456).
         word = (h_type * 4 + eext * 2 + f_ext) | (h_pred << 4) \
             | (eargm << 10)
         # start both state writes; the NEXT node waits on them

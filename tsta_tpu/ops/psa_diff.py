@@ -311,7 +311,8 @@ def _abs_kernel(b_ref, a_ref, *refs,
     """int32 absolute-value variant: same packed layout as _diff_kernel,
     no anchors.  Production TPU path (see module docstring).
 
-    ``traced`` adds a packed int8 traceback plane output (same
+    ``traced`` adds a packed traceback plane output (int32 row-words,
+    4 rows' codes per word; same
     ``back*9 + f*3 + e`` cell encoding as psa_pallas._kernel) for P
     pairs at once -- the packed traced path (round 3); ``t_b`` is then
     the rows-per-grid-step (shrunk so the (t_b, S, LANES) plane block
@@ -836,7 +837,7 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
 def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
                       spec):
     """One group's fused packed DP -> P-pair device walk -> one packed
-    (P, 3 + ...) int32 result: [score, corner, count, moves-4-per-word].
+    (P, 3 + ...) int32 result: [score, corner, count, moves-16-per-word].
     Plain jax ops (no jit) so the same graph serves both the single-
     device jitted chain and the shard_map body."""
     from tsta_tpu.ops import traceback as tb
