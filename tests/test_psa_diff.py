@@ -296,3 +296,24 @@ def test_traced_packed_tiny_pairs():
         es, ec, ealn = _traced_oracle(a, b, P0)
         assert (s, c) == (es, ec)
         assert aln == ealn
+
+
+def test_traced_packed_word_flush_boundary():
+    """Walks whose move count is an exact multiple of 16 exercise the
+    packed-word final-flush edge (the tail word is empty and the
+    unconditional post-loop write must not corrupt the last full
+    word): identical pairs of lengths 512/1024 walk exactly len diag
+    moves."""
+    rng = np.random.default_rng(97)
+    pairs = []
+    for ln in (512, 1024):
+        a = _rnd(rng, ln)
+        pairs.append((a, a.copy()))
+    # and one pair one move OFF the boundary
+    a = _rnd(rng, 513)
+    pairs.append((a, a.copy()))
+    out = psa_diff.psa_align_batch_traced_packed(pairs, P0)
+    for (a, b), (s, c, aln) in zip(pairs, out):
+        es, ec, ealn = _traced_oracle(a, b, P0)
+        assert (s, c, aln) == (es, ec, ealn)
+        assert aln.a_row == bytes(a)   # identical pair: pure diagonal

@@ -692,6 +692,170 @@ def _walk_banded(words, preds_t, scal, n):
     return align[0]
 
 
+def _poa_walk_bounded_kernel(scal_ref, preds_ref, words_ref,
+                             out_ref, vals_ref, band_ref, sem,
+                             *, m_w, Rp, WS, band_r, CAP, U=4):
+    """Chunk-bounded banded walk: like :func:`_poa_walk_kernel` but the
+    walk stops at the chunk floor (row < base) and emits CONSUMED
+    COLUMN VALUES (aligned row, or -1 for insertions) into a log
+    instead of writing an (n,)-wide align buffer -- consumed j's are
+    contiguous descending, so the caller scatters ``vals[:count]`` at
+    ``j0 - t`` with one XLA op (an n-wide SMEM buffer would not fit at
+    the 200 kbp window top).  Exits early when the log fills (count
+    within U of CAP); the chunked driver simply re-enters."""
+    row0 = scal_ref[0, 0]
+    j0 = scal_ref[0, 1]
+    state0 = scal_ref[0, 2]
+    base = scal_ref[0, 3]
+
+    def refetch(row, j):
+        lr = jnp.maximum(row - base, 0)
+        bi = pl.multiple_of(
+            jnp.clip((((lr >> 1) - (band_r - 9)) // 8) * 8, 0,
+                     m_w - band_r), 8)
+        seg = jnp.maximum(j, 0) >> 7
+        s0 = pl.multiple_of(
+            jnp.clip(((seg >> 3) << 3) - (WS - 8), 0, Rp - WS), 8)
+        cp = pltpu.make_async_copy(
+            words_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
+            band_ref, sem)
+        cp.start()
+        cp.wait()
+        return bi, s0
+
+    def cond(st):
+        row, j, state, cnt, bi0, s0 = st
+        return jnp.logical_and(
+            jnp.logical_and(j >= 0, row >= base), cnt < CAP - U)
+
+    def body(st):
+        row, j, state, cnt, bi0, s0 = st
+        live0 = jnp.logical_and(j >= 0, row >= base)
+        miss = jnp.logical_and(live0, jnp.logical_or(
+            jnp.logical_or((jnp.maximum(row - base, 0) >> 1) < bi0,
+                           (jnp.maximum(row - base, 0) >> 1)
+                           >= bi0 + band_r),
+            jnp.logical_or((jnp.maximum(j - U, 0) >> 7) < s0,
+                           (j >> 7) >= s0 + WS)))
+        bi0, s0 = jax.lax.cond(miss, lambda _: refetch(row, j),
+                               lambda _: (bi0, s0), None)
+
+        for _ in range(U):
+            lr = row - base
+            j0c = jnp.maximum(j, 0)
+            li = (jnp.maximum(lr, 0) >> 1) - bi0
+            sg = (j0c >> 7) - s0
+            inband = jnp.logical_and(
+                jnp.logical_and(li >= 0, li < band_r),
+                jnp.logical_and(sg >= 0, sg < WS))
+            live = jnp.logical_and(
+                jnp.logical_and(j >= 0, row >= base), inband)
+            li = jnp.clip(li, 0, band_r - 1)
+            sg = jnp.clip(sg, 0, WS - 1)
+            w = (band_ref[li, sg, j0c & 127]
+                 >> (16 * (jnp.maximum(lr, 0) & 1))) & 0xFFFF
+            flags = w & 0xF
+            h_type = flags >> 2
+            e_ext = (flags >> 1) & 1
+            f_ext = flags & 1
+            h_pred = (w >> 4) & 0x3F
+            e_pred = (w >> 10) & 0x3F
+            is_h = state == 0
+            is_e = state == 1
+            diag = jnp.logical_and(is_h, h_type == 0)
+            lrc = jnp.clip(lr, 0, preds_ref.shape[1] - 1)
+            hprow = preds_ref[jnp.clip(h_pred, 0, preds_ref.shape[0]
+                                       - 1), lrc] - 1
+            eprow = preds_ref[jnp.clip(e_pred, 0, preds_ref.shape[0]
+                                       - 1), lrc] - 1
+            consume = jnp.logical_and(
+                live, jnp.logical_or(diag, state == 2))
+
+            @pl.when(consume)
+            def _():
+                vals_ref[0, cnt] = jnp.where(diag, row, -1)
+
+            new_row = jnp.where(diag, hprow,
+                                jnp.where(is_e, eprow, row))
+            new_j = jnp.where(jnp.logical_or(diag, state == 2),
+                              j - 1, j)
+            new_state = jnp.where(is_h, h_type,
+                                  jnp.where(is_e, e_ext, 2 * f_ext))
+            cnt = cnt + consume.astype(jnp.int32)
+            row = jnp.where(live, new_row, row)
+            j = jnp.where(live, new_j, j)
+            state = jnp.where(live, new_state, state)
+
+        return row, j, state, cnt, bi0, s0
+
+    st = (row0, j0, state0, jnp.int32(0),
+          jnp.asarray(2 ** 30, jnp.int32),
+          jnp.asarray(2 ** 30, jnp.int32))
+    row, j, state, cnt, _, _ = jax.lax.while_loop(cond, body, st)
+    out_ref[0, 0] = row
+    out_ref[0, 1] = j
+    out_ref[0, 2] = state
+    out_ref[0, 3] = cnt
+
+
+def _walk_bounded_banded_ops(words_c, preds_c, row, j, state, align,
+                             base, n, NC):
+    """Banded counterpart of :func:`_walk_bounded_ops`: words_c is the
+    chunk's pair-packed (NC//2, Rp, LANES) int32 plane, preds_c the
+    (max_in, NC) pred-table slice for rows [base, base+NC).  Returns
+    the updated (row, j, state, align)."""
+    m_w, Rp, L = words_c.shape
+    band_r = min(_WBAND_R, m_w)
+    WS = min(_WBAND_S, Rp)
+    CAP = min(n + 16, NC + 4096)
+    kernel = functools.partial(_poa_walk_bounded_kernel, m_w=m_w,
+                               Rp=Rp, WS=WS, band_r=band_r, CAP=CAP)
+    scal = jnp.stack([row, j, state,
+                      jnp.asarray(base, jnp.int32)]).reshape(1, 4)
+    out, vals = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=(jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((1, CAP), jnp.int32)),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.SMEM((band_r, WS, L), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(scal, preds_c, words_c)
+    row2, j2, state2, count = out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+    # consumed columns are j, j-1, ..., j-count+1; masked-out entries
+    # scatter into a dump slot so a duplicate clipped index can never
+    # race a real write
+    t = jnp.arange(CAP, dtype=jnp.int32)
+    idx = jnp.where(t < count, j - t, jnp.int32(n))
+    align2 = jnp.concatenate([align, jnp.zeros((1,), align.dtype)])
+    align2 = align2.at[idx].set(
+        jnp.where(t < count, vals[0], 0), mode="drop")
+    return row2, j2, state2, align2[:n]
+
+
+def _walk_bounded_ok(NC, max_in, Rp):
+    """Gate for the banded bounded walk (chunk planes): window
+    alignment + the chunk pred-table/log SMEM budget."""
+    import os
+    if os.environ.get("TSTA_BANDED_MSA_WALK", "1") in ("", "0"):
+        return False
+    m_w = NC // 2
+    return (NC % 2 == 0 and (m_w <= _WBAND_R or m_w % 8 == 0)
+            and (Rp <= _WBAND_S or Rp % 8 == 0)
+            and max_in * NC * 4 <= 256 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "NC"))
+def _walk_bounded_banded(words_c, preds_c, row, j, state, align, base,
+                         n, NC):
+    return _walk_bounded_banded_ops(words_c, preds_c, row, j, state,
+                                    align, base, n, NC)
+
+
 def _walk_banded_ok(N, max_in, n, Rp):
     """Gate for the banded walk: everything it parks in SMEM (preds
     table + align row + band) must fit alongside the ~1 MB budget, and
@@ -1041,7 +1205,9 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
             NC, n, W, max_in, p)
         return words_c
 
-    preds_dev = jnp.asarray(preds)
+    Rp_w = n // LANES
+    banded_w = _walk_bounded_ok(NC, max_in, Rp_w)
+    preds_dev = None if banded_w else jnp.asarray(preds)
     align = jnp.full((n,), -1, jnp.int32)
     row, j, state = best_row, n_real - 1, 0
     pending: dict = {}
@@ -1053,7 +1219,17 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
         if words_c is None:
             words_c = remat(c)
         pending.clear()   # drop stale speculative planes
-        if c > 0:
+        if banded_w:
+            # banded SMEM walk over the chunk plane (~10x the XLA
+            # gather walk); align updates ride an XLA scatter of the
+            # kernel's consumed-column log
+            preds_c = jnp.asarray(predsT[:, c * NC:(c + 1) * NC])
+            pend_walk = _walk_bounded_banded(
+                words_c, preds_c, jnp.int32(row), jnp.int32(j),
+                jnp.int32(state), align, jnp.int32(c * NC), n, NC)
+            if c > 0:
+                pending[c - 1] = remat(c - 1)
+        elif c > 0:
             # two chunks per dispatch + one speculative remat: halves
             # the per-chunk sync RTTs AND keeps the next pair's first
             # plane computing during this sync (only 2 word planes are
