@@ -184,6 +184,19 @@ def stage_traced_batch():
     run32()
     dt32 = time_best(run32, warmup=0, iters=2)
     res["psa_traced_batch32_gcups_e2e"] = round(rcells / dt32 / 1e9, 3)
+
+    # nb=128 = 16 pipelined groups: the traced saturation point
+    # (r4: 17.6 GCUPS vs the traced DP's ~25 ceiling)
+    rpairs128 = _realistic_pairs(128, 10240, seed=2)
+    rcells128 = sum(len(x) * len(y) for x, y in rpairs128)
+
+    def run128():
+        return pbatch.align_batch_traced_device(rpairs128, params)
+
+    run128()
+    dt128 = time_best(run128, warmup=0, iters=1)
+    res["psa_traced_batch128_gcups_e2e"] = round(
+        rcells128 / dt128 / 1e9, 3)
     return res
 
 
