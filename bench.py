@@ -115,8 +115,23 @@ def stage_traced():
     ref_out = open("tests/golden/example_big/psa_default.out", "rb").read()
     mine = (b">1\n" + aln_box["aln"].a_row + b"\n>2\n"
             + aln_box["aln"].b_row)
-    return {"psa_traced_gcups_e2e": round(cells / dt / 1e9, 3),
-            "psa_traceback_exact": mine == ref_out}
+    out = {"psa_traced_gcups_e2e": round(cells / dt / 1e9, 3),
+           "psa_traceback_exact": mine == ref_out}
+
+    # chunked-path hardware check at an R % 8 == 0 width (the r4 fix
+    # for the latent r3 state-corruption bug was only observable on
+    # hardware -- interpret mode never showed it)
+    import numpy as np
+    rng = np.random.default_rng(3)
+    ac = rng.integers(65, 69, 3072).astype(np.uint8)
+    bc = ac.copy()
+    mm = rng.random(3072) < 0.05
+    bc[mm] = rng.integers(65, 69, int(mm.sum())).astype(np.uint8)
+    bc = np.delete(bc, rng.integers(0, 3072, 3072 // 50))
+    s1, c1, a1 = psa_pallas.psa_align_traced_device(ac, bc, p)
+    s2, c2, a2 = psa_pallas.psa_align_traced_chunked(ac, bc, p, mc=512)
+    out["psa_chunked_exact"] = (s1, c1, a1) == (s2, c2, a2)
+    return out
 
 
 def stage_msa_native():

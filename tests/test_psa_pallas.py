@@ -152,3 +152,27 @@ def test_traced_device_bucket_shares_compile():
         # its re-score equals the corner, not the matrix max
         assert tb.score_alignment(aln.a_row, aln.b_row,
                                   AlignParams()) == co
+
+
+@pytest.mark.parametrize("n", [2048, 3072])
+def test_traced_chunked_r_multiple_of_8(n):
+    """Chunked traced DP at widths whose segment count R is a multiple
+    of 8: the r3 aliased-revisited-output state formulation silently
+    corrupted H/E/best on v5e hardware EXACTLY at R % 8 == 0 (latent --
+    interpret mode never showed it, and naturally-routed chunked pairs
+    happened to land on other widths).  State now lives in scratch;
+    this pins the shape class so interpret-level regressions surface,
+    and the bench's traced stage re-checks one such shape on hardware
+    every round."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(65, 69, n).astype(np.uint8)
+    b = a.copy()
+    m = rng.random(n) < 0.05
+    b[m] = rng.integers(65, 69, int(m.sum())).astype(np.uint8)
+    b = np.delete(b, rng.integers(0, n, n // 50))
+    p = (2, -5, -2, -4)
+    assert (n // 128) % 8 == 0
+    s1, c1, aln1 = psa_pallas.psa_align_traced_device(a, b, p)
+    s2, c2, aln2 = psa_pallas.psa_align_traced_chunked(a, b, p, mc=512)
+    assert (s1, c1) == (s2, c2)
+    assert aln1 == aln2

@@ -584,17 +584,30 @@ def _traced_chain(a2d, bcol, nm, n_pad, m_pad, params, banded=False):
 
 def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
                   lin_ref,
-                  plane_ref, h_ref, e_ref, best_ref, last_acc_ref,
+                  plane_ref, hout_ref, eout_ref, bout_ref, lout_ref,
+                  h_ref, e_ref, best_ref, last_acc_ref,
                   *, R, params, t_b=T_R):
     """Row-chunk of the traced DP.  nm_ref: (1, 3) = [n_real, m_real,
-    row_base]; h/e/best/last are ALIASED in/out (R, LANES) state.  Same
-    row math as _kernel (traced=True), global row = row_base + local."""
+    row_base].  The h/e/best/last state lives in SCRATCH, loaded from
+    the inputs at the first grid step and copied to the outputs at the
+    last: the earlier aliased-revisited-output formulation silently
+    corrupted the state on v5e whenever R % 8 == 0 (plane words landed
+    in the state buffers -- latent since round 3; the production
+    packed kernels keep state in scratch and never hit it, and the
+    auto-routed chunked shapes happened to have R % 8 != 0).  Same row
+    math as _kernel (traced=True), global row = row_base + local."""
     m_, x_, e_, o_ = params
     n_real = nm_ref[0, 0]
     m_real = nm_ref[0, 1]
     row_base = nm_ref[0, 2]
-    del hin_ref, ein_ref, bin_ref, lin_ref   # aliased to the out refs
     blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _load_state():
+        h_ref[:] = hin_ref[:]
+        e_ref[:] = ein_ref[:]
+        best_ref[:] = bin_ref[:]
+        last_acc_ref[:] = lin_ref[:]
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     sub_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     col_idx = sub_idx * LANES + lane_idx
@@ -632,7 +645,7 @@ def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
         seg_excl = jnp.where(seg0, NEG, pltpu.roll(seg, shift=1, axis=0))
         return jnp.maximum(x, seg_excl)
 
-    def row_body(r, _):
+    def row_body(r, pword):
         i = row_base + blk * t_b + r  # global row
         h_prev = h_ref[:]
         e_prev = e_ref[:]
@@ -667,10 +680,39 @@ def _kernel_chunk(nm_ref, b_ref, a_ref, hin_ref, ein_ref, bin_ref,
         e_tie = e_row + e_ == h_row + (o_ + e_)
         ecode = jnp.where(e_open, jnp.where(e_tie, two, one),
                           jnp.int32(0))
-        plane_ref[r] = (back * 9 + fcode * 3 + ecode).astype(jnp.int8)
+        # 4-row int32 words (byte k = row 4w+k), as the packed traced
+        # kernel's plane: the banded bounded walk windows the native
+        # layout
+        return back * 9 + fcode * 3 + ecode
+
+    def group_body(w, _):
+        # four rows per int32 plane word, written unconditionally once
+        # per group: the pl.when((r & 3) == 3) flush formulation
+        # miscompiled on v5e at t_b >= 64 (garbage H state; the packed
+        # kernel's identical pattern only ever runs at t_b = 8)
+        word = row_body(4 * w, 0)
+        for k in range(1, 4):
+            word = word | (row_body(4 * w + k, 0) << (8 * k))
+        plane_ref[w] = word
         return 0
 
-    jax.lax.fori_loop(0, t_b, row_body, 0)
+    jax.lax.fori_loop(0, t_b // 4, group_body, 0)
+
+    @pl.when(blk == pl.num_programs(0) - 1)
+    def _store_state():
+        hout_ref[:] = h_ref[:]
+        eout_ref[:] = e_ref[:]
+        bout_ref[:] = best_ref[:]
+        lout_ref[:] = last_acc_ref[:]
+
+
+@jax.jit
+def _pack_prev_row(prev_row):
+    """(n_pad,) int32 codes -> (1, n_pad//4) packed words (4 codes per
+    int32, byte k = column 4w+k) for the bounded banded walk's SMEM
+    prev-row input."""
+    return (prev_row.astype(jnp.int32).reshape(1, -1, 4)
+            * jnp.array([1, 256, 65536, 1 << 24], jnp.int32)).sum(2)
 
 
 @functools.partial(jax.jit,
@@ -705,18 +747,24 @@ def _psa_chunk_call(a2d, bcol_c, nm3, hst, est, bst, lst, n_pad, mc,
             vm, vm, vm, vm,                             # h/e/best/last in
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((mc, R, LANES), jnp.int8),   # plane
+            jax.ShapeDtypeStruct((mc // 4, R, LANES),
+                                 jnp.int32),   # plane (4 rows/word)
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # h
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # e
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # best
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),      # last
         ),
         out_specs=(
-            pl.BlockSpec((t_b, R, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_b // 4, R, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm,
         ),
-        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),   # h state
+            pltpu.VMEM((R, LANES), jnp.int32),   # e state
+            pltpu.VMEM((R, LANES), jnp.int32),   # best state
+            pltpu.VMEM((R, LANES), jnp.int32),   # last state
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(nm3, bcol_c, a2d, hst, est, bst, lst)
@@ -748,6 +796,11 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
     b = np.asarray(b, dtype=np.uint8)
     n_real, m_real = int(a.shape[0]), int(b.shape[0])
     n_pad = (n_real + LANES - 1) // LANES * LANES
+    # 1024-align wide pairs so R % 8 == 0: the banded bounded walk's
+    # window starts must be provably 8-segment-aligned (<1% padding at
+    # the sizes this path serves)
+    if n_pad > 2048:
+        n_pad = -(-n_pad // 1024) * 1024
     m_pad = (m_real + T_R - 1) // T_R * T_R
     if mc is None:
         budget = _traced_plane_budget()
@@ -781,7 +834,8 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
         plane_c, h, e, best, last = _psa_chunk_call(
             a2d, jnp.asarray(bcol[c * mc:(c + 1) * mc]), nm3,
             h, e, best, last, n_pad, mc, p)
-        last_rows.append(plane_c[mc - 1].reshape(-1))
+        last_rows.append(
+            (plane_c[mc // 4 - 1].reshape(-1) >> 24) & 0xFF)
         if c == nchunks - 1:
             plane_last = plane_c
     score = int(jnp.max(best))
@@ -808,7 +862,9 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
 
     maxlen = m_pad + n_pad
     moves = jnp.zeros((maxlen,), jnp.int8)
-    zrow = jnp.zeros((n_pad,), jnp.int8)
+    zrow = jnp.zeros((n_pad,), jnp.int32)
+    banded_w = tb._bounded_banded_ok(mc, R, n_pad)
+    CAP = min(maxlen + 16, mc + 8192)
     i, j, t, forced = m_real - 1, n_real - 1, 0, 0
     c = (m_real - 1) // mc
     pending: dict = {}
@@ -823,10 +879,20 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
         # dispatch walk(c) FIRST, then the speculative remat(c-1), THEN
         # sync: the device finishes walk(c) (unblocking the host) and
         # keeps executing remat(c-1) while the host decodes + dispatches
-        pend_walk = tb._decode_moves_bounded(
-            plane_c.reshape(mc, n_pad), jnp.int32(i), jnp.int32(j),
-            jnp.int32(t), jnp.int32(forced), moves, jnp.int32(c * mc),
-            prev_row)
+        if banded_w:
+            # banded SMEM walk over the chunk's native word plane
+            # (~10x the XLA gather walk); the previous chunk's last row
+            # rides SMEM packed 4 codes per word
+            prevw = _pack_prev_row(prev_row)
+            pend_walk = tb._decode_moves_bounded_banded(
+                plane_c, prevw, jnp.int32(i), jnp.int32(j),
+                jnp.int32(t), jnp.int32(forced), moves,
+                jnp.int32(c * mc), CAP)
+        else:
+            pend_walk = tb._decode_moves_bounded(
+                plane_c.reshape(mc // 4, n_pad), jnp.int32(i),
+                jnp.int32(j), jnp.int32(t), jnp.int32(forced), moves,
+                jnp.int32(c * mc), prev_row)
         if c > 0:
             pending[c - 1] = remat(c - 1)
         i_d, j_d, t_d, forced_d, moves = pend_walk

@@ -214,9 +214,13 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
     ``prev_row`` is the previous chunk's LAST plane row -- the vertical
     gap-run lookup at row base reads row base-1, which lives there.
     Returns (i, j, t, forced, moves)."""
-    mc = plane_c.shape[0]
+    mc = plane_c.shape[0] * 4   # plane rows are 4-per-int32-word
     if prev_row is None:
-        prev_row = jnp.zeros((plane_c.shape[1],), plane_c.dtype)
+        prev_row = jnp.zeros((plane_c.shape[1],), jnp.int32)
+
+    def cell(li, jj):
+        w = plane_c[jnp.clip(li >> 2, 0, plane_c.shape[0] - 1), jj]
+        return (w >> (8 * (li & 3))) & 0xFF
 
     def cond(st):
         i, j, t, forced, moves = st
@@ -229,17 +233,15 @@ def _decode_moves_bounded(plane_c, i, j, t, forced, moves, base,
         i, j, t, forced, moves = st
         li = jnp.clip(i - base, 0, mc - 1)
         in_core = jnp.logical_and(i >= 0, j >= 0)
-        code = jnp.where(in_core,
-                         plane_c[li, jnp.maximum(j, 0)],
-                         0).astype(jnp.int32)
+        code = jnp.where(in_core, cell(li, jnp.maximum(j, 0)), 0)
         fprev = jnp.where(j > 0,
-                          (plane_c[li, jnp.maximum(j - 1, 0)] // 3) % 3,
-                          0).astype(jnp.int32)
+                          (cell(li, jnp.maximum(j - 1, 0)) // 3) % 3,
+                          0)
         up_code = jnp.where(
             i - 1 >= base,
-            plane_c[jnp.clip(i - 1 - base, 0, mc - 1),
-                    jnp.maximum(j, 0)],
-            prev_row[jnp.maximum(j, 0)]).astype(jnp.int32)
+            cell(jnp.clip(i - 1 - base, 0, mc - 1),
+                 jnp.maximum(j, 0)),
+            prev_row[jnp.maximum(j, 0)].astype(jnp.int32))
         eprev = jnp.where(i > 0, up_code % 3, 0)
         move, forced_next = _decode_step(in_core, i, j, forced, code,
                                          fprev, eprev)
@@ -582,6 +584,161 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
     # t % 16 == 0 -- everything past `count` is ignored downstream)
     moves_ref[pid, t >> 4] = accw
     count_ref[pid, 0] = t
+
+
+def _walk_kernel_bounded(scal_ref, prevw_ref, plane_ref, out_ref,
+                         vals_ref, band_ref, sem,
+                         *, m_w, Rp, WS, band_r, CAP, U=8):
+    """Chunk-bounded banded walk over a single pair's 4-row-word plane
+    (m_w = mc//4 word-rows covering chunk rows [base, base+mc)): the
+    bounded counterpart of :func:`_walk_kernel_packed` for the chunked
+    traced path (psa_pallas.psa_align_traced_chunked).  Emits raw moves
+    into a CAP-bounded log (the caller scatters them at t..t+count-1;
+    an (m+n)-wide SMEM buffer would not fit for window-top pairs) and
+    exits early when the log fills -- the driver re-enters.  The
+    cross-chunk vertical gap-run lookup at the chunk's first row reads
+    ``prevw_ref`` (the previous chunk's last plane row, 4 column codes
+    per int32 word)."""
+    i0 = scal_ref[0, 0]
+    j0 = scal_ref[0, 1]
+    forced0 = scal_ref[0, 2]
+    base = scal_ref[0, 3]
+
+    def refetch(i, j):
+        lr = jnp.maximum(i - base, 0)
+        bi = pl.multiple_of(
+            jnp.clip((((lr >> 2) - (band_r - 9)) // 8) * 8, 0,
+                     m_w - band_r), 8)
+        seg = jnp.maximum(j, 0) >> 7
+        s0 = pl.multiple_of(
+            jnp.clip(((seg >> 3) << 3) - (WS - 8), 0, Rp - WS), 8)
+        cp = pltpu.make_async_copy(
+            plane_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
+            band_ref, sem)
+        cp.start()
+        cp.wait()
+        return bi, s0
+
+    def cell(lr, jj, bi0, s0):
+        li = jnp.clip((lr >> 2) - bi0, 0, band_r - 1)
+        sg = jnp.clip((jj >> 7) - s0, 0, WS - 1)
+        w = band_ref[li, sg, jj & 127]
+        return (w >> (8 * (lr & 3))) & 0xFF
+
+    def cond(st):
+        i, j, forced, cnt, bi0, s0 = st
+        more = jnp.logical_or(i >= 0, j >= 0)
+        in_chunk = jnp.logical_or(i >= base,
+                                  jnp.logical_and(base == 0, j >= 0))
+        return jnp.logical_and(jnp.logical_and(more, in_chunk),
+                               cnt < CAP - U)
+
+    def body(st):
+        i, j, forced, cnt, bi0, s0 = st
+        in_core = jnp.logical_and(i >= base, j >= 0)
+        miss = jnp.logical_and(in_core, jnp.logical_or(
+            jnp.logical_or(
+                jnp.maximum(i - U - base, 0) >> 2 < bi0,
+                (jnp.maximum(i - base, 0) >> 2) >= bi0 + band_r),
+            jnp.logical_or(
+                (jnp.maximum(j - U, 0) >> 7) < s0,
+                (j >> 7) >= s0 + WS)))
+        bi0, s0 = jax.lax.cond(miss, lambda _: refetch(i, j),
+                               lambda _: (bi0, s0), None)
+
+        for _ in range(U):
+            more = jnp.logical_or(i >= 0, j >= 0)
+            live = jnp.logical_and(more, jnp.logical_or(
+                i >= base, jnp.logical_and(base == 0, j >= 0)))
+            in_core = jnp.logical_and(i >= base, j >= 0)
+            lr = jnp.maximum(i - base, 0)
+            j0c = jnp.maximum(j, 0)
+            code = jnp.where(in_core, cell(lr, j0c, bi0, s0), 0)
+            fprev = jnp.where(
+                j > 0,
+                cell(lr, jnp.maximum(j - 1, 0), bi0, s0) // 3 % 3, 0)
+            upw = jnp.where(
+                i - 1 >= base,
+                cell(jnp.maximum(lr - 1, 0), j0c, bi0, s0),
+                (prevw_ref[0, j0c >> 2] >> (8 * (j0c & 3))) & 0xFF)
+            eprev = jnp.where(i > 0, upw % 3, 0)
+            move, forced_n = _decode_step(in_core, i, j, forced, code,
+                                          fprev, eprev)
+            forced = jnp.where(live, forced_n, forced)
+
+            @pl.when(live)
+            def _():
+                vals_ref[0, cnt] = move
+
+            step = live.astype(jnp.int32)
+            i = i - jnp.where(move == 0, 0, 1) * step
+            j = j - jnp.where(move == 2, 0, 1) * step
+            cnt = cnt + step
+
+        return i, j, forced, cnt, bi0, s0
+
+    st = (i0, j0, forced0, jnp.int32(0),
+          jnp.asarray(2 ** 30, jnp.int32),
+          jnp.asarray(2 ** 30, jnp.int32))
+    i, j, forced, cnt, _, _ = jax.lax.while_loop(cond, body, st)
+    out_ref[0, 0] = i
+    out_ref[0, 1] = j
+    out_ref[0, 2] = forced
+    out_ref[0, 3] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("CAP",))
+def _decode_moves_bounded_banded(plane_w3, prevw, i, j, t, forced,
+                                 moves, base, CAP):
+    """Banded counterpart of :func:`_decode_moves_bounded`.
+    ``plane_w3``: the chunk's (mc//4, Rp, LANES) int32 row-word plane
+    in its NATIVE 3-D layout (no reshape/bitcast); ``prevw``: the
+    previous chunk's last row packed 4 codes per word, (1, n_pad//4)
+    int32.  Returns (i, j, t, forced, moves)."""
+    m_w, Rp, L = plane_w3.shape
+    band_r = min(_WBAND_PSA_R, m_w)
+    WS = min(_BAND_WS, Rp)
+    kernel = functools.partial(_walk_kernel_bounded, m_w=m_w, Rp=Rp,
+                               WS=WS, band_r=band_r, CAP=CAP)
+    scal = jnp.stack([i, j, forced,
+                      jnp.asarray(base, jnp.int32)]).reshape(1, 4)
+    out, vals = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=(jax.ShapeDtypeStruct((1, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((1, CAP), jnp.int32)),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.SMEM((band_r, WS, L), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(scal, prevw, plane_w3)
+    i2, j2, forced2, count = out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+    maxlen = moves.shape[0]
+    tt = jnp.arange(CAP, dtype=jnp.int32)
+    idx = jnp.where(tt < count, t + tt, jnp.int32(maxlen))
+    moves2 = jnp.concatenate([moves, jnp.zeros((1,), moves.dtype)])
+    moves2 = moves2.at[idx].set(
+        jnp.where(tt < count, vals[0], 0).astype(moves.dtype),
+        mode="drop")
+    return i2, j2, t + count, forced2, moves2[:maxlen]
+
+
+_WBAND_PSA_R = 24   # bounded-PSA band word-rows (x4 rows each)
+
+
+def _bounded_banded_ok(mc, Rp, n_pad):
+    """Gate for the banded bounded PSA walk: window alignment + the
+    packed prev-row SMEM budget."""
+    import os
+    if os.environ.get("TSTA_BANDED_WALK", "1") in ("", "0"):
+        return False
+    m_w = mc // 4
+    return (mc % 4 == 0 and (m_w <= _WBAND_PSA_R or m_w % 8 == 0)
+            and (Rp <= _BAND_WS or Rp % 8 == 0)
+            and n_pad <= 1 << 20)
 
 
 def packed_words_len(maxlen):
