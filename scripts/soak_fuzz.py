@@ -8,6 +8,13 @@ Hammers the round-4 kernels beyond the committed test trial counts:
     vs the scan engine, including tiny-HBM chunked topologies.
 
 Usage: PYTHONPATH= JAX_PLATFORMS=cpu python scripts/soak_fuzz.py [trials]
+
+Keep trials <= ~30 per process: every random shape is a fresh XLA:CPU
+compile, and past ~40 accumulated jit programs LLVM starts failing
+with "Cannot allocate memory" (JIT code-segment map exhaustion -- an
+XLA:CPU long-process artifact, not a product bug; r4 verified 30+30
+and 3-trial runs clean, and the failure reproduces with an untouched
+tree).  For bigger sweeps, loop the script.
 """
 import os
 import sys
