@@ -124,3 +124,62 @@ def test_native_toposort_matches_python(monkeypatch):
         assert out_c.round_scores == out_py.round_scores
         assert out_c.rows == out_py.rows
         assert out_c.consensus == out_py.consensus
+
+
+def test_native_merge_matches_python(monkeypatch):
+    """native/poa_fast.c's tsta_poa_merge mutates the graph buffers
+    BIT-IDENTICALLY to the Python merge loop (the semantics reference),
+    across fuzzed rounds with insertions, mismatch-variant creation and
+    ring reuse."""
+    import copy
+
+    import numpy as np
+
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(17)
+    abc = np.frombuffer(b"ACGT", np.uint8)
+
+    def rand_seq(n):
+        return rng.choice(abc, n).tobytes()
+
+    def clone(g):
+        g2 = PoaGraph(g.n_seq)
+        for f in PoaGraph.__slots__:
+            v = getattr(g, f)
+            setattr(g2, f, v.copy() if isinstance(v, np.ndarray)
+                    else copy.deepcopy(v))
+        return g2
+
+    for trial in range(10):
+        g1 = PoaGraph.from_sequence(rand_seq(int(rng.integers(5, 60))), 4)
+        g1.toposort()
+        for sno in (1, 2, 3):
+            seq = rand_seq(int(rng.integers(3, 70)))
+            order = list(g1.topo)
+            n = len(seq)
+            # plausible align_rows: increasing topo rows with -1 gaps
+            rows = sorted(rng.choice(
+                len(order), size=min(n, len(order)),
+                replace=False).tolist())
+            ar = np.full(n, -1, np.int64)
+            take = rng.random(n) < 0.7
+            ri = 0
+            for j in range(n):
+                if take[j] and ri < len(rows):
+                    ar[j] = rows[ri]
+                    ri += 1
+            g2 = clone(g1)
+            monkeypatch.setenv("TSTA_NATIVE_MERGE", "1")
+            a1 = msa_native._merge(g1, seq, sno, order, ar)
+            monkeypatch.setenv("TSTA_NATIVE_MERGE", "0")
+            a2 = msa_native._merge(g2, seq, sno, order, ar)
+            assert a1 == a2
+            assert g1.bases == g2.bases
+            assert g1.preds == g2.preds
+            assert g1.weights == g2.weights
+            assert g1.variants == g2.variants
+            assert [p.tolist() for p in g1.passing] == \
+                [p.tolist() for p in g2.passing]
+            g1.toposort()

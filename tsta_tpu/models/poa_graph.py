@@ -7,54 +7,143 @@ fusion c-t-simd.c:659-977, topo.c, result.c) but with simplified,
 documented tie rules: the device DP (ops/msa_native.py) is the exact
 int32 recurrence, and fusion walks a 3-state (H/E/F) textbook traceback.
 
-Kept as plain numpy/int lists: the graph is the host side of the design;
-the device only ever sees dense per-round tensors derived from it.
+Storage is ARRAY-BACKED (r4 host-tail rework): bases/in-degrees/pred
+rows/weights/passing/variant rings live in capacity-doubling numpy
+buffers rather than Python lists-of-lists, so (a) the per-round fusion
+loop can run in C (native/poa_fast.c tsta_poa_merge) writing the
+buffers in place, and (b) csr()/toposort/_prepare/msa_rows consume the
+adjacency with vectorised numpy instead of flattening ~50-200k Python
+lists per round (the flatten alone was ~20 ms/round at 50k nodes,
+~80 ms at 200k).  ``bases``/``preds``/``weights``/``variants``/
+``passing`` remain available as list-style READ accessors for tests and
+cold paths; the device only ever sees dense per-round tensors derived
+from the buffers.
+
+Buffer invariants (the C merge relies on them):
+  * nodes are never removed; rows >= _n have never been written and are
+    all-zero (fresh allocations are zeroed, growth copies only [:_n]);
+  * per-node pred order is insertion order (argmax tie-breaking in the
+    round DP depends on it);
+  * a merge round grows any single node's in-degree and variant-ring
+    size by at most 1 (fusion consumes each column once), so pre-growing
+    pmax/vmax by 1 before the round makes in-place C fusion safe.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional
 
 import numpy as np
 
+_PMAX0 = 4   # initial pred slots per node
+_VMAX0 = 4   # initial variant-ring slots (A/C/G/T alternates; grows for
+             # exotic alphabets -- the reference hard-caps at 4,
+             # poa.h:109 mismatch_node[4])
 
-@dataclasses.dataclass
+
 class PoaGraph:
-    n_seq: int
-    bases: List[int] = dataclasses.field(default_factory=list)
-    preds: List[List[int]] = dataclasses.field(default_factory=list)
-    weights: List[List[int]] = dataclasses.field(default_factory=list)
-    passing: List[np.ndarray] = dataclasses.field(default_factory=list)
-    variants: List[List[int]] = dataclasses.field(default_factory=list)
-    # derived (rebuilt by toposort)
-    topo: List[int] = dataclasses.field(default_factory=list)
-    # incrementally maintained successor cache (succs() is on the hot
-    # host path several times per MSA round; None = rebuild on demand)
-    _succs: Optional[List[List[int]]] = dataclasses.field(
-        default=None, repr=False, compare=False)
-    # flattened predecessor CSR cache (nd, ptr, flat) shared by
-    # toposort/_prepare/msa_rows; invalidated on any edge mutation
-    _csr: Optional[tuple] = dataclasses.field(
-        default=None, repr=False, compare=False)
+    __slots__ = ("n_seq", "_n", "_bases", "_ndeg", "_preds", "_weights",
+                 "_passing", "_nvar", "_vars", "topo", "_succs", "_csr")
+
+    def __init__(self, n_seq: int, cap: int = 64):
+        self.n_seq = int(n_seq)
+        self._n = 0
+        cap = max(int(cap), 1)
+        self._bases = np.zeros(cap, np.uint8)
+        self._ndeg = np.zeros(cap, np.int32)
+        self._preds = np.zeros((cap, _PMAX0), np.int32)
+        self._weights = np.zeros((cap, _PMAX0), np.int32)
+        self._passing = np.zeros((cap, self.n_seq), bool)
+        self._nvar = np.zeros(cap, np.int32)
+        self._vars = np.zeros((cap, _VMAX0), np.int32)
+        self.topo: List[int] = []
+        self._succs: Optional[List[List[int]]] = None
+        self._csr: Optional[tuple] = None
+
+    # -- capacity management ------------------------------------------
+
+    def _grow(self, n_cap: int = 0, pmax: int = 0, vmax: int = 0) -> None:
+        """Ensure capacities; no-op when already sufficient.  New rows /
+        columns are zero-filled (rows >= _n stay all-zero)."""
+        n = self._n
+        cap = self._bases.shape[0]
+        if n_cap > cap:
+            new = max(n_cap, 2 * cap)
+            for name in ("_bases", "_ndeg", "_nvar"):
+                old = getattr(self, name)
+                a = np.zeros(new, old.dtype)
+                a[:n] = old[:n]
+                setattr(self, name, a)
+            for name in ("_preds", "_weights", "_vars", "_passing"):
+                old = getattr(self, name)
+                a = np.zeros((new, old.shape[1]), old.dtype)
+                a[:n] = old[:n]
+                setattr(self, name, a)
+            cap = new
+        if pmax > self._preds.shape[1]:
+            new = max(pmax, 2 * self._preds.shape[1])
+            for name in ("_preds", "_weights"):
+                old = getattr(self, name)
+                a = np.zeros((cap, new), old.dtype)
+                a[:n, :old.shape[1]] = old[:n]
+                setattr(self, name, a)
+        if vmax > self._vars.shape[1]:
+            new = max(vmax, 2 * self._vars.shape[1])
+            a = np.zeros((cap, new), self._vars.dtype)
+            a[:n, :self._vars.shape[1]] = self._vars[:n]
+            self._vars = a
+
+    # -- list-style read accessors (tests, serialisation, cold paths) --
 
     def __len__(self) -> int:
-        return len(self.bases)
+        return self._n
+
+    @property
+    def bases(self) -> List[int]:
+        return self._bases[:self._n].tolist()
+
+    @property
+    def preds(self) -> List[List[int]]:
+        nd, P = self._ndeg, self._preds
+        return [P[v, :nd[v]].tolist() for v in range(self._n)]
+
+    @property
+    def weights(self) -> List[List[int]]:
+        nd, W = self._ndeg, self._weights
+        return [W[v, :nd[v]].tolist() for v in range(self._n)]
+
+    @property
+    def variants(self) -> List[List[int]]:
+        nv, V = self._nvar, self._vars
+        return [V[v, :nv[v]].tolist() for v in range(self._n)]
+
+    @property
+    def passing(self) -> List[np.ndarray]:
+        return list(self._passing[:self._n])
+
+    def max_in_degree(self) -> int:
+        """Max in-degree over current nodes (0 for an empty graph)."""
+        return int(self._ndeg[:self._n].max(initial=0))
+
+    # -- mutation -------------------------------------------------------
 
     def add_node(self, base: int, seq_no: int,
                  preds: Optional[List[int]] = None) -> int:
+        ps = list(preds or [])
+        idx = self._n
+        self._grow(n_cap=idx + 1, pmax=len(ps))
+        self._n = idx + 1
         self._csr = None
-        idx = len(self.bases)
-        self.bases.append(int(base))
-        self.preds.append(list(preds or []))
-        self.weights.append([1] * len(preds or []))
-        p = np.zeros(self.n_seq, dtype=bool)
-        p[seq_no] = True
-        self.passing.append(p)
-        self.variants.append([])
+        self._bases[idx] = int(base)
+        k = len(ps)
+        self._ndeg[idx] = k
+        if k:
+            self._preds[idx, :k] = ps
+            self._weights[idx, :k] = 1
+        self._passing[idx, seq_no] = True
         if self._succs is not None:
             self._succs.append([])
-            for pv in self.preds[idx]:
+            for pv in ps:
                 self._succs[pv].append(idx)
         return idx
 
@@ -62,51 +151,56 @@ class PoaGraph:
         if src < 0:
             return
         self._csr = None
-        try:
-            k = self.preds[dst].index(src)
-            self.weights[dst][k] += w
-        except ValueError:
-            self.preds[dst].append(src)
-            self.weights[dst].append(w)
-            if self._succs is not None:
-                self._succs[src].append(dst)
+        nd = int(self._ndeg[dst])
+        row = self._preds[dst]
+        for k in range(nd):
+            if row[k] == src:
+                self._weights[dst, k] += w
+                return
+        if nd >= self._preds.shape[1]:
+            self._grow(pmax=nd + 1)
+        self._preds[dst, nd] = src
+        self._weights[dst, nd] = w
+        self._ndeg[dst] = nd + 1
+        if self._succs is not None:
+            self._succs[src].append(dst)
 
     @classmethod
     def from_sequence(cls, seq: bytes, n_seq: int) -> "PoaGraph":
-        # bulk-built: the per-node add_node loop was 0.36 s of the 3x50k
-        # host wall (r4 profile); a chain's topo order is the identity,
-        # so the initial Kahn pass is skipped too
-        g = cls(n_seq=n_seq)
+        # bulk-built: a chain's topo order is the identity, so the
+        # initial Kahn pass is skipped too
         n = len(seq)
-        g.bases = list(seq) if isinstance(seq, (bytes, bytearray)) \
-            else [int(c) for c in seq]
-        g.preds = [[]] + [[i - 1] for i in range(1, n)]
-        g.weights = [[]] + [[1] for _ in range(max(n - 1, 0))]
-        pass_mat = np.zeros((n, n_seq), dtype=bool)
-        pass_mat[:, 0] = True
-        g.passing = list(pass_mat)
-        g.variants = [[] for _ in range(n)]
+        g = cls(n_seq=n_seq, cap=max(n, 1))
+        g._n = n
+        if n:
+            g._bases[:n] = np.frombuffer(bytes(seq), np.uint8) \
+                if isinstance(seq, (bytes, bytearray)) \
+                else np.asarray(list(seq), np.uint8)
+            g._ndeg[1:n] = 1
+            g._preds[1:n, 0] = np.arange(n - 1, dtype=np.int32)
+            g._weights[1:n, 0] = 1
+            g._passing[:n, 0] = True
         g.topo = list(range(n))
         return g
+
+    # -- derived structure ---------------------------------------------
 
     def csr(self):
         """Flattened adjacency ``(nd, ptr, flat, wflat, sptr, sidx)``
         (all int64; node order): predecessor CSR + edge weights +
         successor CSR.  Cached until the next edge mutation (add_edge
-        weight bumps also invalidate, so ``wflat`` stays current) --
-        the flatten of the Python adjacency lists is a measurable host
-        cost at 50k+ nodes and toposort/_prepare/msa_rows/consensus
-        each need some of it."""
+        weight bumps also invalidate, so ``wflat`` stays current).
+        Vectorised extraction from the padded buffers (boolean-mask,
+        row-major: per-node pred order is preserved)."""
         if self._csr is None:
-            n = len(self)
-            nd = np.fromiter((len(p) for p in self.preds), np.int64, n)
+            n = self._n
+            nd = self._ndeg[:n].astype(np.int64)
             ptr = np.zeros(n + 1, np.int64)
             np.cumsum(nd, out=ptr[1:])
-            ne = int(ptr[-1])
-            flat = np.fromiter((p for ps in self.preds for p in ps),
-                               np.int64, ne)
-            wflat = np.fromiter((w for ws in self.weights for w in ws),
-                                np.int64, ne)
+            pmax = self._preds.shape[1]
+            mask = np.arange(pmax) < nd[:, None]
+            flat = self._preds[:n][mask].astype(np.int64)
+            wflat = self._weights[:n][mask].astype(np.int64)
             dst = np.repeat(np.arange(n, dtype=np.int64), nd)
             srt = np.argsort(flat, kind="stable")
             sidx = np.ascontiguousarray(dst[srt])
@@ -117,12 +211,14 @@ class PoaGraph:
 
     def succs(self) -> List[List[int]]:
         if self._succs is None:
-            out: List[List[int]] = [[] for _ in range(len(self))]
-            for v, ps in enumerate(self.preds):
-                for p in ps:
-                    out[p].append(v)
-            self._succs = out
+            _, _, _, _, sptr, sidx = self.csr()
+            self._succs = [sidx[sptr[v]:sptr[v + 1]].tolist()
+                           for v in range(self._n)]
         return self._succs
+
+    def sinks(self) -> List[int]:
+        _, _, _, _, sptr, _ = self.csr()
+        return np.flatnonzero(sptr[1:] == sptr[:-1]).tolist()
 
     def toposort(self) -> List[int]:
         """Deterministic Kahn order, keeping aligned-variant rings
@@ -134,15 +230,18 @@ class PoaGraph:
         fallback for the rare variants-not-ready case the C main path
         does not replicate.  TSTA_NATIVE_TOPO=0 opts out."""
         import os
-        n = len(self)
+        n = self._n
         gate = os.environ.get("TSTA_NATIVE_TOPO", "1")
         if gate not in ("", "0") and (n > 2048 or gate == "force"):
             order = self._toposort_native(n)
             if order is not None:
                 self.topo = order
                 return order
-        indeg = [len(p) for p in self.preds]
+        nd_arr, _, _, _, _, _ = self.csr()
+        indeg = nd_arr.tolist()
         succs = self.succs()
+        nvar = self._nvar
+        vars_ = self._vars
         ready = [v for v in range(n) if indeg[v] == 0]
         order: List[int] = []
         placed = [False] * n
@@ -152,7 +251,7 @@ class PoaGraph:
             v = heapq.heappop(ready)
             if placed[v]:
                 continue
-            group = [v] + [w for w in self.variants[v]
+            group = [v] + [int(w) for w in vars_[v, :nvar[v]]
                            if not placed[w] and indeg[w] == 0]
             for w in group:
                 if placed[w]:
@@ -165,8 +264,9 @@ class PoaGraph:
                         heapq.heappush(ready, s)
         if len(order) != n:
             # variants not yet ready break grouping; fall back to pure Kahn
+            P, nd = self._preds, self._ndeg
             remaining = [v for v in range(n) if not placed[v]]
-            indeg2 = {v: sum(1 for p in self.preds[v] if not placed[p])
+            indeg2 = {v: sum(1 for p in P[v, :nd[v]] if not placed[p])
                       for v in remaining}
             ready = sorted(v for v in remaining if indeg2[v] == 0)
             while ready:
@@ -217,9 +317,9 @@ class PoaGraph:
             return None
         import ctypes
         nd, _, _, _, sptr, sidx = self.csr()
-        vn = np.fromiter((len(v) for v in self.variants), np.int64, n)
-        vidx = np.fromiter((w for vs in self.variants for w in vs),
-                           np.int64, int(vn.sum()))
+        vn = self._nvar[:n].astype(np.int64)
+        vmask = np.arange(self._vars.shape[1]) < vn[:, None]
+        vidx = self._vars[:n][vmask].astype(np.int64)
         vptr = np.zeros(n + 1, np.int64)
         np.cumsum(vn, out=vptr[1:])
         order = np.empty(n, np.int64)
@@ -233,9 +333,6 @@ class PoaGraph:
         if placed != n:
             return None
         return order.tolist()
-
-    def sinks(self) -> List[int]:
-        return [v for v, ss in enumerate(self.succs()) if not ss]
 
     def apply_delta(self, seq: bytes, seq_no: int, order,
                     align_rows) -> int:
@@ -270,7 +367,7 @@ class PoaGraph:
         or tied with the global max is never negated); on exhaustion we
         fall back to tracing from the best-scoring sink instead of
         emitting a truncated consensus from a stuck non-sink."""
-        n = len(self)
+        n = self._n
         topo = self.topo
         native = self._consensus_native(n)
         if native is not None:
@@ -278,20 +375,23 @@ class PoaGraph:
             out = bytearray()
             v = top
             while v >= 0:
-                out.append(self.bases[v])
+                out.append(self._bases[v])
                 v = int(cfrom_arr[v])
             out.reverse()
             return bytes(out)
         pos = {v: i for i, v in enumerate(topo)}
         succs = self.succs()
-        sinks = {v for v in range(n) if not succs[v]}
+        sinks = set(self.sinks())
         score = [0] * n
         cfrom = [-1] * n
+        Pr, Wt, nd = self._preds, self._weights, self._ndeg
 
         def rescore(v):
             mx, mx_j = 0, -1
-            ps, ws = self.preds[v], self.weights[v]
-            for j, (p, w) in enumerate(zip(ps, ws)):
+            k = nd[v]
+            ps, ws = Pr[v, :k], Wt[v, :k]
+            for j in range(k):
+                p, w = ps[j], ws[j]
                 if score[p] >= 0:
                     if mx < w or (mx == w and mx_j >= 0
                                   and score[ps[mx_j]] <= score[p]):
@@ -299,7 +399,7 @@ class PoaGraph:
             if mx_j < 0:
                 score[v], cfrom[v] = 0, -1
             else:
-                score[v], cfrom[v] = score[ps[mx_j]] + mx, ps[mx_j]
+                score[v], cfrom[v] = score[ps[mx_j]] + int(mx), int(ps[mx_j])
 
         for v in topo:
             rescore(v)
@@ -312,7 +412,7 @@ class PoaGraph:
                 break
             marked = set()
             for nx in succs[top]:
-                for p in self.preds[nx]:
+                for p in Pr[nx, :nd[nx]]:
                     if 0 < score[p] < score[top]:
                         score[p] = -score[p]
                 marked.add(nx)
@@ -327,7 +427,7 @@ class PoaGraph:
         out = bytearray()
         v = top
         while v >= 0:
-            out.append(self.bases[v])
+            out.append(self._bases[v])
             v = cfrom[v]
         out.reverse()
         return bytes(out)
@@ -378,7 +478,7 @@ class PoaGraph:
         the condensed sort is the general guarantee.  On a (degenerate)
         cyclic column graph it falls back to node-topo order.
         """
-        n = len(self)
+        n = self._n
         if n == 0:
             return [b""] * self.n_seq
         topo = np.asarray(self.topo, np.int64)
@@ -397,9 +497,10 @@ class PoaGraph:
                 a = gid[a]
             return a
 
-        nvar = np.fromiter((len(v) for v in self.variants), np.int64, n)
+        nvar = self._nvar[:n]
+        vars_ = self._vars
         for v in np.nonzero(nvar)[0]:
-            for w in self.variants[v]:
+            for w in vars_[v, :nvar[v]]:
                 ra, rb = find(v), find(w)
                 if ra != rb:
                     gid[max(ra, rb)] = min(ra, rb)
@@ -469,7 +570,7 @@ class PoaGraph:
             for v in self.topo:
                 if printed[v]:
                     continue
-                group = [v] + [w for w in self.variants[v]
+                group = [v] + [int(w) for w in vars_[v, :nvar[v]]
                                if not printed[w]]
                 for w in group:
                     printed[w] = True
@@ -492,11 +593,10 @@ class PoaGraph:
                            kind="stable"), kind="stable")
 
         rows_mat = np.full((self.n_seq, ncols), ord("-"), np.uint8)
-        nodes, seqs = np.nonzero(np.stack(self.passing))
+        nodes, seqs = np.nonzero(self._passing[:n])
         srt = np.argsort(order[nodes], kind="stable")
         nodes, seqs = nodes[srt], seqs[srt]
-        rows_mat[seqs, col_of[nodes]] = np.asarray(
-            self.bases, np.uint8)[nodes]
+        rows_mat[seqs, col_of[nodes]] = self._bases[nodes]
         return [bytes(r) for r in rows_mat]
 
 
@@ -507,30 +607,27 @@ def save_graph(path: str, g: PoaGraph, extra: Optional[Dict] = None) -> None:
     append '.npz' otherwise, and the resume existence-check in
     ops/msa_native.align_seqs would then never see the snapshot).
     """
-    indptr = np.cumsum([0] + [len(p) for p in g.preds])
     with open(path, "wb") as fh:
-        _savez_to(fh, g, indptr, extra)
+        _savez_to(fh, g, extra)
 
 
-def _savez_to(fh, g, indptr, extra):
+def _savez_to(fh, g: PoaGraph, extra):
+    import json
+    n = len(g)
+    nd, ptr, flat, wflat, _, _ = g.csr()
+    vn = g._nvar[:n].astype(np.int64)
+    vmask = np.arange(g._vars.shape[1]) < vn[:, None]
     np.savez_compressed(
         fh,
         n_seq=g.n_seq,
-        bases=np.asarray(g.bases, np.uint8),
-        indptr=indptr.astype(np.int64),
-        indices=np.concatenate([np.asarray(p, np.int64) for p in g.preds]
-                               if g.preds else [np.zeros(0, np.int64)]),
-        weights=np.concatenate([np.asarray(w, np.int64) for w in g.weights]
-                               if g.weights else [np.zeros(0, np.int64)]),
-        passing=np.stack(g.passing) if g.passing else
-        np.zeros((0, g.n_seq), bool),
-        var_indptr=np.cumsum(
-            [0] + [len(v) for v in g.variants]).astype(np.int64),
-        var_indices=np.concatenate(
-            [np.asarray(v, np.int64) for v in g.variants]
-            if g.variants else [np.zeros(0, np.int64)]),
-        extra=np.frombuffer(
-            __import__("json").dumps(extra or {}).encode(), np.uint8),
+        bases=g._bases[:n].copy(),
+        indptr=ptr,
+        indices=flat,
+        weights=wflat,
+        passing=g._passing[:n].copy(),
+        var_indptr=np.concatenate([[0], np.cumsum(vn)]).astype(np.int64),
+        var_indices=g._vars[:n][vmask].astype(np.int64),
+        extra=np.frombuffer(json.dumps(extra or {}).encode(), np.uint8),
     )
 
 
@@ -538,17 +635,25 @@ def load_graph(path: str) -> tuple:
     """Load a graph snapshot; returns (PoaGraph, extra_dict)."""
     import json
     z = np.load(path)
-    g = PoaGraph(n_seq=int(z["n_seq"]))
-    indptr = z["indptr"]
-    var_indptr = z["var_indptr"]
-    for i, base in enumerate(z["bases"]):
-        g.bases.append(int(base))
-        g.preds.append(list(map(int, z["indices"][indptr[i]:indptr[i + 1]])))
-        g.weights.append(list(map(int,
-                                  z["weights"][indptr[i]:indptr[i + 1]])))
-        g.passing.append(z["passing"][i].copy())
-        g.variants.append(list(map(
-            int, z["var_indices"][var_indptr[i]:var_indptr[i + 1]])))
+    bases = z["bases"]
+    n = bases.shape[0]
+    g = PoaGraph(n_seq=int(z["n_seq"]), cap=max(n, 1))
+    indptr = z["indptr"].astype(np.int64)
+    nd = np.diff(indptr)
+    var_indptr = z["var_indptr"].astype(np.int64)
+    vn = np.diff(var_indptr)
+    g._grow(pmax=int(nd.max(initial=0)), vmax=int(vn.max(initial=0)))
+    g._n = n
+    if n:
+        g._bases[:n] = bases
+        g._ndeg[:n] = nd
+        pm = np.arange(g._preds.shape[1]) < nd[:, None]
+        g._preds[:n][pm] = z["indices"]
+        g._weights[:n][pm] = z["weights"]
+        g._passing[:n] = z["passing"]
+        g._nvar[:n] = vn
+        vm = np.arange(g._vars.shape[1]) < vn[:, None]
+        g._vars[:n][vm] = z["var_indices"]
     g.toposort()
     extra = json.loads(bytes(z["extra"]).decode() or "{}")
     return g, extra

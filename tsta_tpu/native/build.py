@@ -158,4 +158,10 @@ def setup_poa_symbols(lib):
                                        lp]
     lib.tsta_poa_consensus.restype = ctypes.c_long
     lib.tsta_poa_consensus.argtypes = [ctypes.c_long] + [lp] * 8
+    ub = ctypes.POINTER(ctypes.c_ubyte)
+    lib.tsta_poa_merge.restype = ctypes.c_long
+    lib.tsta_poa_merge.argtypes = [
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ub, ip, ip, ip, ub, ctypes.c_long, ctypes.c_long, ip, ip,
+        ub, ctypes.c_long, lp]
     return lib

@@ -250,3 +250,99 @@ long tsta_poa_consensus(long n, const long *topo, const long *pptr,
   free(pos);
   return iter >= bound ? -1 : top;
 }
+
+/* One fusion round over the graph's array-backed buffers
+ * (models/poa_graph.PoaGraph storage; semantics reference:
+ * ops/msa_native._merge's Python loop, itself the TPU-side
+ * re-design of the reference's node_fuse, msa/c-t-simd.c:659-977).
+ * Writes bases/ndeg/preds/weights/passing/nvar/vars in place; the
+ * caller pre-grows capacities (n + slen nodes, max in-degree + 1 pred
+ * slots, max ring + 1 variant slots) so no reallocation happens here.
+ * Returns nodes added, or -2 on a capacity breach (pre-grow invariant
+ * violated -- the caller raises; buffers may be partially mutated).
+ *
+ * align[j] is the graph node aligned to seq[j] (-1 = insertion). */
+static int poa_merge_edge(long prev, long v, long pmax, int *ndeg,
+                          int *preds, int *weights) {
+  if (prev < 0) return 0;
+  int nd = ndeg[v];
+  int *row = preds + v * pmax;
+  for (int k = 0; k < nd; k++) {
+    if (row[k] == prev) {
+      weights[v * pmax + k] += 1;
+      return 0;
+    }
+  }
+  if (nd >= pmax) return -1;
+  row[nd] = (int)prev;
+  weights[v * pmax + nd] = 1;
+  ndeg[v] = nd + 1;
+  return 0;
+}
+
+long tsta_poa_merge(long n, long cap, long pmax, long vmax,
+                    unsigned char *bases, int *ndeg, int *preds,
+                    int *weights, unsigned char *passing, long n_seq,
+                    long seq_no, int *nvar, int *vars,
+                    const unsigned char *seq, long slen,
+                    const long *align) {
+  long nn = n;
+  long prev = -1;
+  if (n + slen > cap) return -2;
+  for (long jj = 0; jj < slen; jj++) {
+    long v = align[jj];
+    unsigned char ch = seq[jj];
+    if (v >= 0) {
+      if (bases[v] == ch) {
+        passing[v * n_seq + seq_no] = 1;
+        if (ndeg[v] > 0 && preds[v * pmax] == prev) {
+          weights[v * pmax] += 1; /* chain edge exists (fast path) */
+        } else if (poa_merge_edge(prev, v, pmax, ndeg, preds, weights)) {
+          return -2;
+        }
+        prev = v;
+        continue;
+      }
+      /* mismatch: reuse an aligned variant with this base or create */
+      int k = nvar[v];
+      int *ring = vars + v * vmax;
+      long cand = -1;
+      for (int t = 0; t < k; t++) {
+        if (bases[ring[t]] == ch) {
+          cand = ring[t];
+          break;
+        }
+      }
+      if (cand < 0) {
+        if (k + 1 > vmax) return -2;
+        long w = nn++;
+        bases[w] = ch;
+        /* new node's ring = [v] + v's ring; register w in every
+         * member's ring (rings of one column share size k) */
+        int *wr = vars + w * vmax;
+        wr[0] = (int)v;
+        for (int t = 0; t < k; t++) {
+          long r = ring[t];
+          wr[t + 1] = (int)r;
+          int kr = nvar[r];
+          if (kr >= vmax) return -2;
+          vars[r * vmax + kr] = (int)w;
+          nvar[r] = kr + 1;
+        }
+        nvar[w] = k + 1;
+        ring[k] = (int)w; /* after the copy loop: ring aliases v's row */
+        nvar[v] = k + 1;
+        v = w;
+      } else {
+        v = cand;
+      }
+    } else {
+      v = nn++;
+      bases[v] = ch;
+    }
+    passing[v * n_seq + seq_no] = 1;
+    if (poa_merge_edge(prev, v, pmax, ndeg, preds, weights)) return -2;
+    prev = v;
+  }
+  return nn - n;
+}

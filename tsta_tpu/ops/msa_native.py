@@ -125,7 +125,7 @@ def _prepare_round(g: PoaGraph, params: AlignParams):
     order = g.topo
     N_real = len(order)
     pos = {v: i for i, v in enumerate(order)}  # node -> topo row
-    max_in = max(1, max(len(g.preds[v]) for v in order))
+    max_in = max(1, g.max_in_degree())
     N = bucket(N_real)
     preds = np.zeros((N, max_in), np.int32)
     pmask = np.zeros((N, max_in), bool)
@@ -133,18 +133,19 @@ def _prepare_round(g: PoaGraph, params: AlignParams):
     hm1 = np.full((N + 1,), NEG, np.int64)
     hm1[0] = 0  # virtual H(-1,-1)
     e_, o_ = params.gap_extend, params.gap_open
+    g_bases, g_ndeg, g_preds = g._bases, g._ndeg, g._preds
     for i, v in enumerate(order):
-        bases[i] = g.bases[v]
-        ps = g.preds[v]
-        if not ps:
+        bases[i] = g_bases[v]
+        k = int(g_ndeg[v])
+        if not k:
             preds[i, 0] = 0  # virtual row
             pmask[i, 0] = True
             hm1[i + 1] = o_ + e_
         else:
-            for k, pv in enumerate(ps):
-                preds[i, k] = pos[pv] + 1
-                pmask[i, k] = True
-            hm1[i + 1] = max(hm1[pos[pv] + 1] for pv in ps) + e_
+            rows = [pos[int(pv)] + 1 for pv in g_preds[v, :k]]
+            preds[i, :k] = rows
+            pmask[i, :k] = True
+            hm1[i + 1] = max(hm1[r] for r in rows) + e_
     valid = np.zeros((N,), bool)
     valid[:N_real] = True
     return (bases, preds, pmask, hm1.astype(np.int32), valid, N, N_real,
@@ -191,53 +192,147 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
     rows (from either the host or device walk).  Returns nodes added.
 
     The loop is the hot host path of long-read rounds (~0.3 s/round at
-    200 kbp before r4): locals are bound once, the dominant case (an
-    aligned matching base whose chain edge already exists at pred slot
-    0) is a branch-light fast path, and add_edge's list .index() scan
-    is inlined for it."""
+    200 kbp before the graph's array-backed storage landed); it now
+    runs in C (native/poa_fast.c tsta_poa_merge) directly on the
+    graph's buffers, with the Python loop below kept as the semantics
+    reference and fallback (TSTA_NATIVE_MERGE=0 opts out; fuzz-asserted
+    identical in tests/test_msa_native.py).  Capacity is pre-grown so
+    the C pass never reallocates: a merge adds at most len(seq) nodes
+    and grows any single node's in-degree / variant ring by at most 1
+    (each alignment column is consumed once per round)."""
+    import os
     n = len(seq)
-    align = [order[r] if r >= 0 else None for r in align_rows]
     before = len(g)
-    bases = g.bases
-    passing = g.passing
-    variants = g.variants
-    preds = g.preds
-    weights = g.weights
-    add_node = g.add_node
-    add_edge = g.add_edge
+    # pre-grow (also guarantees in-place C safety; see PoaGraph docs)
+    g._grow(n_cap=before + n,
+            pmax=g.max_in_degree() + 1,
+            vmax=int(g._nvar[:before].max(initial=0)) + 1)
+    ar = np.asarray(align_rows, np.int64)
+    if ar.shape[0] != n:
+        raise ValueError("align_rows length != len(seq)")
+    if len(order):
+        order_arr = np.asarray(order, np.int64)
+        align = np.where(ar >= 0,
+                         order_arr[np.clip(ar, 0, len(order) - 1)],
+                         np.int64(-1))
+    else:
+        align = np.full(n, -1, np.int64)
+    seq_arr = (np.frombuffer(bytes(seq), np.uint8)
+               if isinstance(seq, (bytes, bytearray))
+               else np.asarray(list(seq), np.uint8))
+    g._csr = None
+    g._succs = None
+    if os.environ.get("TSTA_NATIVE_MERGE", "1") not in ("", "0"):
+        added = _merge_native(g, seq_arr, seq_no, align)
+        if added >= 0:
+            g._n = before + added
+            return added
+    bases = g._bases
+    ndeg = g._ndeg
+    preds = g._preds
+    weights = g._weights
+    passing = g._passing
+    nvar = g._nvar
+    vars_ = g._vars
+    nn = before
     prev = -1
     for jj in range(n):
-        v = align[jj]
-        ch = seq[jj]
-        if v is not None:
+        v = int(align[jj])
+        ch = int(seq_arr[jj])
+        if v >= 0:
             if bases[v] == ch:
-                passing[v][seq_no] = True
-                ps = preds[v]
-                if ps and ps[0] == prev:      # chain edge exists
-                    weights[v][0] += 1
-                    g._csr = None
+                passing[v, seq_no] = True
+                if ndeg[v] and preds[v, 0] == prev:  # chain edge exists
+                    weights[v, 0] += 1
                 else:
-                    add_edge(prev, v)
+                    _edge_py(g, prev, v)
                 prev = v
                 continue
             # mismatch: reuse an aligned variant with this base or create
-            ring = variants[v]
-            cand = next((w for w in ring if bases[w] == ch), None)
-            if cand is None:
-                w = add_node(ch, seq_no)
-                full_ring = [v] + ring
-                for r in full_ring:
-                    variants[r] = variants[r] + [w]
-                variants[w] = full_ring
+            k = int(nvar[v])
+            ring = vars_[v, :k].copy()
+            cand = -1
+            for w in ring:
+                if bases[w] == ch:
+                    cand = int(w)
+                    break
+            if cand < 0:
+                w = nn
+                nn += 1
+                bases[w] = ch
+                # new node's ring = [v] + v's ring; register w in every
+                # member's ring
+                vars_[w, 0] = v
+                vars_[w, 1:k + 1] = ring
+                nvar[w] = k + 1
+                vars_[v, k] = w
+                nvar[v] = k + 1
+                for r in ring:
+                    kr = int(nvar[r])
+                    vars_[r, kr] = w
+                    nvar[r] = kr + 1
                 v = w
             else:
                 v = cand
         else:
-            v = add_node(ch, seq_no)
-        passing[v][seq_no] = True
-        add_edge(prev, v)
+            v = nn
+            nn += 1
+            bases[v] = ch
+        passing[v, seq_no] = True
+        _edge_py(g, prev, v)
         prev = v
-    return len(g) - before
+    g._n = nn
+    return nn - before
+
+
+def _edge_py(g: PoaGraph, src: int, dst: int) -> None:
+    """add_edge without cache invalidation (the merge invalidates once;
+    capacity is pre-grown by the caller)."""
+    if src < 0:
+        return
+    nd = int(g._ndeg[dst])
+    row = g._preds[dst]
+    for k in range(nd):
+        if row[k] == src:
+            g._weights[dst, k] += 1
+            return
+    row[nd] = src
+    g._weights[dst, nd] = 1
+    g._ndeg[dst] = nd + 1
+
+
+def _merge_native(g: PoaGraph, seq_arr: np.ndarray, seq_no: int,
+                  align: np.ndarray) -> int:
+    """C merge over the graph's buffers; returns nodes added or -1
+    (library unavailable -- the caller falls back to the Python loop).
+    A capacity breach inside C (impossible given the pre-grow
+    invariant) raises instead of corrupting the buffers."""
+    try:
+        from tsta_tpu.native.build import load_poa
+        lib = load_poa()
+    except Exception:  # pragma: no cover - toolchain-less host
+        return -1
+    import ctypes
+    added = lib.tsta_poa_merge(
+        len(g), g._bases.shape[0],
+        g._preds.shape[1], g._vars.shape[1],
+        g._bases.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        g._ndeg.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        g._preds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        g._weights.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        g._passing.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        g.n_seq, seq_no,
+        g._nvar.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        g._vars.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        seq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        seq_arr.shape[0],
+        np.ascontiguousarray(align, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_long)))
+    if added == -2:  # pragma: no cover - guarded by the pre-grow
+        raise RuntimeError(
+            "tsta_poa_merge capacity breach: the alignment consumed a "
+            "graph column more than once (invalid align_rows?)")
+    return int(added)
 
 
 def _fuse(g: PoaGraph, seq: bytes, seq_no: int, order, packed, h_pred,
@@ -335,8 +430,7 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
             progress(n_rounds - len(reads) + read_idx, n_rounds)
         # the POA kernel packs pred indices into 6 bits; rounds whose
         # graph exceeds 64 in-degree fall back to the scan engine
-        use_poa_round = use_poa and max(
-            (len(ps) for ps in g.preds), default=1) <= 64
+        use_poa_round = use_poa and g.max_in_degree() <= 64
         if use_poa_round:
             # DP + best-sink + walk dispatch as one async device chain;
             # ONE packed device read is the round's single sync
@@ -453,8 +547,7 @@ def align_seqs_many(seq_sets: List[List[bytes]],
     def dispatch(st):
         seq_no = st["reads"][st["next"]]
         seq = bytes(st["seqs"][seq_no])
-        if (not use_poa
-                or max((len(ps) for ps in st["g"].preds), default=1) > 64):
+        if not use_poa or st["g"].max_in_degree() > 64:
             scan_round(st, seq_no, seq)   # synchronous fallback round
             return
         out = msa_pallas.round_dp_fused(st["g"], seq, params)

@@ -899,7 +899,7 @@ def _prepare(g, params):
     msa_native._prepare_round but flattens boundaries per pred)."""
     order = g.topo
     N_real = len(order)
-    max_in = max(1, max(len(g.preds[v]) for v in order))
+    max_in = max(1, g.max_in_degree())
     if max_in > 64:
         raise ValueError(
             "POA kernel traceback packs predecessor indices into 6 bits "
@@ -938,7 +938,7 @@ def _prepare(g, params):
     src_rows = np.where(lens == 0)[0]
     pmask[src_rows, 0] = 1            # sources read the virtual row 0
     bases = np.zeros((N, 1), np.int32)
-    bases[:N_real, 0] = np.asarray(g.bases, np.int32)[order_arr]
+    bases[:N_real, 0] = g._bases[order_arr].astype(np.int32)
     maxdist = int(max(1, (rowi - pos[flat]).max())) if n_edges else 1
     # boundary H(v,-1): sequential topo recurrence over preds
     # (native/poa_fast.c tsta_poa_hm1; the Python chain-run
