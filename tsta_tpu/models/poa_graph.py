@@ -485,36 +485,48 @@ class PoaGraph:
         topo_rank = np.empty(n, np.int64)
         topo_rank[topo] = np.arange(n)
 
-        # variant groups = connected components of the variant relation;
-        # the union loop touches only nodes WITH variants (rare), the
-        # rest of the pipeline is numpy (round 3: the per-node Python
-        # loops were ~0.4 s of the 3x50k host wall)
-        gid = np.arange(n, dtype=np.int64)
-
-        def find(a):
-            while gid[a] != a:
-                gid[a] = gid[gid[a]]
-                a = gid[a]
-            return a
-
+        # variant groups = connected components of the variant relation.
+        # Rings are mutual CLIQUES by construction (_merge registers a
+        # new variant in every member's ring and hands it the full
+        # ring), so the component id is simply min(member ids) -- one
+        # vectorised reduction instead of the per-node union-find loop
+        # (which was ~25 ms of the 3x50k final emit).  The fixed-point
+        # check guards the clique invariant; on a violation (foreign
+        # graph state) the union-find fallback below restores full
+        # transitive-closure semantics.
         nvar = self._nvar[:n]
         vars_ = self._vars
-        for v in np.nonzero(nvar)[0]:
-            for w in vars_[v, :nvar[v]]:
-                ra, rb = find(v), find(w)
-                if ra != rb:
-                    gid[max(ra, rb)] = min(ra, rb)
-        # path-compress all roots in one vectorised sweep: roots are
-        # fixed points, so two hops suffice after the union pass above
-        while True:
-            nxt = gid[gid]
-            if np.array_equal(nxt, gid):
-                break
-            gid = nxt
+        vmax = vars_.shape[1]
+        ids = np.arange(n, dtype=np.int64)
+        ring_min = np.where(np.arange(vmax) < nvar[:, None],
+                            vars_[:n], n).min(axis=1)
+        gid = np.minimum(ids, ring_min)
+        if not np.array_equal(gid[gid], gid):  # pragma: no cover
+            gid = ids.copy()
+
+            def find(a):
+                while gid[a] != a:
+                    gid[a] = gid[gid[a]]
+                    a = gid[a]
+                return a
+
+            for v in np.nonzero(nvar)[0]:
+                for w in vars_[v, :nvar[v]]:
+                    ra, rb = find(v), find(w)
+                    if ra != rb:
+                        gid[max(ra, rb)] = min(ra, rb)
+            while True:
+                nxt = gid[gid]
+                if np.array_equal(nxt, gid):
+                    break
+                gid = nxt
         group_of = gid
 
-        # condensed DAG (variant groups as vertices, node edges as arcs)
-        roots, gidx = np.unique(group_of, return_inverse=True)
+        # condensed DAG (variant groups as vertices, node edges as arcs);
+        # group ids are root node ids (fixed points of gid), so the
+        # sorted-unique + inverse reduces to flatnonzero + searchsorted
+        roots = np.flatnonzero(group_of == np.arange(n))
+        gidx = np.searchsorted(roots, group_of)
         ng = roots.shape[0]
         rank = np.full(ng, n, np.int64)
         np.minimum.at(rank, gidx, topo_rank)
@@ -586,15 +598,19 @@ class PoaGraph:
             # within a column, members are emitted in topo order; a later
             # write wins for a sequence passing two variants of one
             # column, as the reference's per-node print loop does
-            # (result.c:42-66)
+            # (result.c:42-66).  Sorting the passing entries directly by
+            # the (column, topo rank) key is equivalent to ranking every
+            # node first (keys are distinct per node; duplicates of one
+            # node share a key and keep their stable seq order) and
+            # saves two full-length argsorts.
             col_of = emit_pos[gidx]
-            order = np.argsort(
-                np.argsort(col_of * np.int64(n) + topo_rank,
-                           kind="stable"), kind="stable")
+            order = None
 
         rows_mat = np.full((self.n_seq, ncols), ord("-"), np.uint8)
         nodes, seqs = np.nonzero(self._passing[:n])
-        srt = np.argsort(order[nodes], kind="stable")
+        key = (order[nodes] if order is not None
+               else col_of[nodes] * np.int64(n) + topo_rank[nodes])
+        srt = np.argsort(key, kind="stable")
         nodes, seqs = nodes[srt], seqs[srt]
         rows_mat[seqs, col_of[nodes]] = self._bases[nodes]
         return [bytes(r) for r in rows_mat]
