@@ -835,7 +835,7 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
 
 
 def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
-                      spec):
+                      spec, db=True):
     """One group's fused packed DP -> P-pair device walk -> one packed
     (P, 3 + ...) int32 result: [score, corner, count, moves-16-per-word].
     Plain jax ops (no jit) so the same graph serves both the single-
@@ -849,7 +849,7 @@ def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
     if banded:
         words, counts = tb._decode_moves_banded_packed(plane, nm,
                                                        n_pad // LANES,
-                                                       spec)
+                                                       spec, db=db)
     else:
         moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
         words = tb.pack_moves_words(moves)
@@ -862,10 +862,10 @@ def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "m_pad", "P", "params",
-                                    "banded", "spec"))
+                                    "banded", "spec", "db"))
 def _traced_packed_chain(a8, brows8, nm,
                          n_pad, m_pad, P, params, banded=False,
-                         spec=True):
+                         spec=True, db=True):
     """Fused packed DP -> P-pair device walk -> two packed transfers:
     header (3, P) int32 [scores; corners; counts] and the move lists
     (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
@@ -875,11 +875,12 @@ def _traced_packed_chain(a8, brows8, nm,
     walk remains the fallback for shapes outside the band alignment
     gate.  (Reference walks host planes sequentially, psa.c:434-519.)"""
     return _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params,
-                             banded, spec)
+                             banded, spec, db)
 
 
 @functools.lru_cache(maxsize=32)
-def _traced_sharded_call(mesh, n_pad, m_pad, P, params, banded, spec):
+def _traced_sharded_call(mesh, n_pad, m_pad, P, params, banded, spec,
+                         db=True):
     """shard_map wrapper for the traced chain: G same-shape groups
     stacked on a leading axis sharded over ``data``; each device runs
     its local groups' DP + walk with NO collectives (pairs are
@@ -899,7 +900,7 @@ def _traced_sharded_call(mesh, n_pad, m_pad, P, params, banded, spec):
         # G_local independent chain graphs and pipelines them
         return jnp.stack([
             _traced_chain_ops(a8[g], brows8[g], nm[g], n_pad, m_pad, P,
-                              params, banded, spec)
+                              params, banded, spec, db)
             for g in range(a8.shape[0])])
 
     return jax.jit(shard_map(shard_fn, mesh=mesh,
@@ -985,7 +986,8 @@ def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):
     S = P * Rp
     banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
     spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
-    fn = _traced_sharded_call(mesh, n_pad, m_pad, P, p, banded, spec)
+    db = os.environ.get("TSTA_WALK_DB", "1") not in ("", "0")
+    fn = _traced_sharded_call(mesh, n_pad, m_pad, P, p, banded, spec, db)
     pendings = []
     for g0 in range(0, G, g_call):
         Gc = min(g_call, G - g0)
@@ -1104,10 +1106,11 @@ def psa_align_batch_traced_packed(seq_pairs, params, mesh=None):
         import os
         banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
         spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
+        db = os.environ.get("TSTA_WALK_DB", "1") not in ("", "0")
         pendings.append((g, (
             _traced_packed_chain(
                 jnp.asarray(a8), jnp.asarray(brows8), jnp.asarray(nm),
-                n_pad, m_pad, P, p, banded, spec), g)))
+                n_pad, m_pad, P, p, banded, spec, db), g)))
 
     results = [None] * B
     for g, pend in pendings:

@@ -586,6 +586,151 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
     count_ref[pid, 0] = t
 
 
+def _walk_kernel_packed_db(nm_ref, plane_ref, moves_ref, count_ref,
+                           band_ref, sems, *, m_w, Rp, S, WS, band_r,
+                           U=8):
+    """Double-buffered variant of :func:`_walk_kernel_packed`: two band
+    buffers (``band_ref`` is (2, band_r, WS, LANES) SMEM) and a DMA
+    semaphore pair.  After every band switch the PREDICTED next window
+    -- the walk exits bands through their top on near-diagonal
+    alignments, so place the window at (band top - 1, j - di) -- is
+    prefetched into the idle buffer; on a miss whose prefetch covers
+    the walk position the switch is a buffer flip (no DMA wait on the
+    critical path).  A wrong prediction (gap-heavy horizontal run)
+    falls back to a synchronous fetch, so exactness never depends on
+    the prediction.  Saves the ~3 us refetch stall every ~4*band_r
+    steps that the single-buffer walk pays (~25 ns/step of its
+    ~137 ns/step body)."""
+    assert 16 % U == 0
+    pid = pl.program_id(0)
+    seg0 = pid * Rp
+    m = nm_ref[pid, 1]
+    n = nm_ref[pid, 0]
+
+    def place(i, j):
+        bi = pl.multiple_of(
+            jnp.clip((((i >> 2) - (band_r - 9)) // 8) * 8, 0,
+                     m_w - band_r), 8)
+        gseg = seg0 + (jnp.maximum(j, 0) >> 7)
+        s0 = pl.multiple_of(
+            jnp.clip(((gseg >> 3) << 3) - (WS - 8), 0, S - WS), 8)
+        return bi, s0
+
+    def start(buf, bi, s0):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
+            band_ref.at[buf], sems.at[buf])
+
+    def covers(i, j, bi, s0):
+        """This iteration's U sub-steps stay inside window (bi, s0)."""
+        return jnp.logical_not(jnp.logical_or(
+            jnp.logical_or(
+                jnp.maximum(i - U, 0) >> 2 < bi,
+                i >> 2 >= bi + band_r),
+            jnp.logical_or(
+                seg0 + (jnp.maximum(j - U, 0) >> 7) < s0,
+                seg0 + (j >> 7) >= s0 + WS)))
+
+    def cond(st):
+        i, j = st[0], st[1]
+        return jnp.logical_or(i >= 0, j >= 0)
+
+    def body(st):
+        i, j, t, forced, accw, bi0, s0, buf, pbi, ps0, pv = st
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        miss = jnp.logical_and(in_core,
+                               jnp.logical_not(covers(i, j, bi0, s0)))
+
+        def on_miss(_):
+            other = 1 - buf
+            # drain any in-flight prefetch (it targets `other`)
+            @pl.when(pv != 0)
+            def _():
+                start(other, pbi, ps0).wait()
+
+            hit = jnp.logical_and(pv != 0, covers(i, j, pbi, ps0))
+            nbi, ns0 = jax.lax.cond(
+                hit, lambda _: (pbi, ps0),
+                lambda _: place(i, j), None)
+
+            @pl.when(jnp.logical_not(hit))
+            def _():
+                cp = start(other, nbi, ns0)
+                cp.start()
+                cp.wait()
+
+            # prefetch the predicted next window into the now-idle
+            # buffer (exit through the band top, diagonal motion)
+            ip = 4 * nbi - 1
+            jp = jnp.maximum(j - (i - ip), 0)
+            qbi, qs0 = place(jnp.maximum(ip, 0), jp)
+            want = jnp.logical_and(
+                ip >= 0, jnp.logical_or(qbi != nbi, qs0 != ns0))
+
+            @pl.when(want)
+            def _():
+                start(buf, qbi, qs0).start()
+
+            return (nbi, ns0, other, qbi, qs0,
+                    jnp.where(want, 1, 0).astype(jnp.int32))
+
+        bi0, s0, buf, pbi, ps0, pv = jax.lax.cond(
+            miss, on_miss,
+            lambda _: (bi0, s0, buf, pbi, ps0, pv), None)
+
+        t0 = t
+        for _ in range(U):
+            active = jnp.logical_or(i >= 0, j >= 0)
+            in_core = jnp.logical_and(i >= 0, j >= 0)
+            j0 = jnp.maximum(j, 0)
+            jl = jnp.maximum(j - 1, 0)
+            iu = jnp.maximum(i - 1, 0)
+            li = jnp.clip((jnp.maximum(i, 0) >> 2) - bi0, 0, band_r - 1)
+            liu = jnp.clip((iu >> 2) - bi0, 0, band_r - 1)
+            sg = jnp.clip(seg0 + (j0 >> 7) - s0, 0, WS - 1)
+            sgl = jnp.clip(seg0 + (jl >> 7) - s0, 0, WS - 1)
+            w = band_ref[buf, li, sg, j0 & 127]
+            wl = band_ref[buf, li, sgl, jl & 127]
+            wu = band_ref[buf, liu, sg, j0 & 127]
+            code = jnp.where(in_core,
+                             (w >> (8 * (i & 3))) & 0xFF, 0)
+            fprev = jnp.where(
+                j > 0, (((wl >> (8 * (i & 3))) & 0xFF) // 3) % 3, 0)
+            eprev = jnp.where(
+                i > 0, ((wu >> (8 * (iu & 3))) & 0xFF) % 3, 0)
+            move, forced = _decode_step(in_core, i, j, forced, code,
+                                        fprev, eprev)
+            accw = accw | (jnp.where(active, move, 0) << (2 * (t & 15)))
+            step = active.astype(jnp.int32)
+            i = i - jnp.where(move == 0, 0, 1) * step
+            j = j - jnp.where(move == 2, 0, 1) * step
+            t = t + step
+
+        full = jnp.logical_and(t != t0, (t & 15) == 0)
+
+        @pl.when(full)
+        def _():
+            moves_ref[pid, (t - 1) >> 4] = accw
+
+        accw = jnp.where(full, 0, accw)
+        return i, j, t, forced, accw, bi0, s0, buf, pbi, ps0, pv
+
+    st = (m - 1, n - 1, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+          jnp.asarray(2 ** 30, jnp.int32),   # forces the first fetch
+          jnp.asarray(2 ** 30, jnp.int32),
+          jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    i, j, t, _, accw, bi0, s0, buf, pbi, ps0, pv = jax.lax.while_loop(
+        cond, body, st)
+
+    # drain a leftover prefetch before the kernel exits
+    @pl.when(pv != 0)
+    def _():
+        start(1 - buf, pbi, ps0).wait()
+
+    moves_ref[pid, t >> 4] = accw
+    count_ref[pid, 0] = t
+
+
 def _walk_kernel_bounded(scal_ref, prevw_ref, plane_ref, out_ref,
                          vals_ref, band_ref, sem,
                          *, m_w, Rp, WS, band_r, CAP, U=8):
@@ -779,8 +924,8 @@ _BAND_WS = 16   # packed-walk band segments (x128 cells each; multiple
                 # >= (WS-8)*128 cells walkable left per fetch)
 
 
-@functools.partial(jax.jit, static_argnames=("Rp", "spec", "U"))
-def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8):
+@functools.partial(jax.jit, static_argnames=("Rp", "spec", "U", "db"))
+def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8, db=True):
     """Pallas banded walk over the grouped row-word plane
     (m_pad // 4, S, LANES) int32 from psa_diff._psa_diff_traced_call.
     Returns (words, counts): words (P, packed_words_len(m_pad + n_pad))
@@ -789,7 +934,9 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8):
     width), m_pad % 8 == 0, and S = P*Rp either <= _BAND_WS (whole
     width fits one window) or a multiple of 8 (aligned window starts).
     ``spec`` selects the U=8 unrolled window body (TSTA_SPEC_WALK=0 in
-    the caller drops to U=1 for A/B)."""
+    the caller drops to U=1 for A/B); ``db`` the double-buffered band
+    (predicted-next-window prefetch, :func:`_walk_kernel_packed_db`;
+    the caller maps TSTA_WALK_DB=0 to False for A/B)."""
     m_w, S, L = plane.shape
     m_pad = m_w * 4
     P = S // Rp
@@ -803,7 +950,9 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8):
                          "m_pad %% 8 == 0 >= 24, and aligned windows "
                          "(got m_pad=%d S=%d)" % (m_pad, S))
     WS = min(_BAND_WS, S)
-    kernel = functools.partial(_walk_kernel_packed, m_w=m_w, Rp=Rp,
+    db = db and m_w > band_r   # single-window planes never refetch
+    kern_fn = _walk_kernel_packed_db if db else _walk_kernel_packed
+    kernel = functools.partial(kern_fn, m_w=m_w, Rp=Rp,
                                S=S, WS=WS, band_r=band_r,
                                U=U if spec else 1)
     words, counts = pl.pallas_call(
@@ -826,8 +975,10 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((band_r, WS, L), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM(((2, band_r, WS, L) if db else (band_r, WS, L)),
+                       jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)) if db
+            else pltpu.SemaphoreType.DMA,
         ],
     )(nm, plane)
     return words, counts[:, 0]
