@@ -183,3 +183,58 @@ def test_native_merge_matches_python(monkeypatch):
             assert [p.tolist() for p in g1.passing] == \
                 [p.tolist() for p in g2.passing]
             g1.toposort()
+
+
+def test_merge_ring_double_hit(monkeypatch):
+    """Non-path align_rows may consume two members of one variant ring
+    in a single round (real walks cannot, but fuzz / foreign deltas
+    can).  The merge must stay loud-or-correct: both engines grow
+    capacity as needed and produce identical graphs."""
+    import copy
+
+    import numpy as np
+
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    def clone(g):
+        g2 = PoaGraph(g.n_seq)
+        for f in PoaGraph.__slots__:
+            v = getattr(g, f)
+            setattr(g2, f, v.copy() if isinstance(v, np.ndarray)
+                    else copy.deepcopy(v))
+        return g2
+
+    # chain A-C-G with a full variant ring at the middle column
+    g = PoaGraph.from_sequence(b"ACG", 6)
+    order0 = list(g.toposort())
+    # create variants T and N at column 1 via two adversarial merges
+    msa_native._merge(g, b"T", 1, order0, np.asarray([1]))
+    g.toposort()
+    msa_native._merge(g, b"N", 2, list(g.topo),
+                      np.asarray([g.topo.index(1)]))
+    g.toposort()
+    assert sorted(g.variants[1]) == [3, 4]
+    order = list(g.topo)
+    # one round hitting BOTH ring members 1 and 3 with new bases each:
+    # ring growth of 2 in one merge (breaches the valid-path +1 bound)
+    r1, r3 = order.index(1), order.index(3)
+    lo, hi = min(r1, r3), max(r1, r3)
+    seq = b"XY"
+    ar = np.asarray([lo, hi])
+    g_c, g_p = clone(g), clone(g)
+    monkeypatch.setenv("TSTA_NATIVE_MERGE", "1")
+    a1 = msa_native._merge(g_c, seq, 3, order, ar)
+    monkeypatch.setenv("TSTA_NATIVE_MERGE", "0")
+    a2 = msa_native._merge(g_p, seq, 4, order, ar)
+    assert a1 == a2 == 2
+    assert g_c.bases == g_p.bases
+    assert g_c.preds == g_p.preds
+    assert g_c.variants == g_p.variants
+    # the column's ring now holds 4 variants (A/T/N/X/Y share it)
+    assert len(g_c.variants[1]) == 4
+    # out-of-range rows fail loudly, never clamp
+    import pytest
+    with pytest.raises(ValueError):
+        msa_native._merge(clone(g), b"A", 3, order,
+                          np.asarray([len(order)]))

@@ -501,7 +501,15 @@ class PoaGraph:
         ring_min = np.where(np.arange(vmax) < nvar[:, None],
                             vars_[:n], n).min(axis=1)
         gid = np.minimum(ids, ring_min)
-        if not np.array_equal(gid[gid], gid):  # pragma: no cover
+        # clique guard: roots must be fixed points AND every member's
+        # ring size must equal its group size - 1 (catches asymmetric /
+        # partially-written relations that happen to be idempotent,
+        # e.g. a member missing its back-edge)
+        ok = np.array_equal(gid[gid], gid)
+        if ok:
+            counts = np.bincount(gid, minlength=n)
+            ok = bool(np.array_equal(nvar + 1, counts[gid]))
+        if not ok:  # pragma: no cover
             gid = ids.copy()
 
             def find(a):

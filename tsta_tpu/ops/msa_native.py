@@ -203,34 +203,64 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
     import os
     n = len(seq)
     before = len(g)
-    # pre-grow (also guarantees in-place C safety; see PoaGraph docs)
-    g._grow(n_cap=before + n,
-            pmax=g.max_in_degree() + 1,
-            vmax=int(g._nvar[:before].max(initial=0)) + 1)
     ar = np.asarray(align_rows, np.int64)
     if ar.shape[0] != n:
         raise ValueError("align_rows length != len(seq)")
+    if int(ar.max(initial=-1)) >= len(order):
+        # loud, not clamped: a row past the real node count means the
+        # device walk emitted a padded/bucketed row -- clamping would
+        # merge the base into the wrong column and silently corrupt
+        # every later round
+        raise ValueError("align_rows contains topo row %d >= %d nodes"
+                         % (int(ar.max()), len(order)))
     if len(order):
         order_arr = np.asarray(order, np.int64)
-        align = np.where(ar >= 0,
-                         order_arr[np.clip(ar, 0, len(order) - 1)],
+        align = np.where(ar >= 0, order_arr[np.maximum(ar, 0)],
                          np.int64(-1))
     else:
         align = np.full(n, -1, np.int64)
+    # pre-grow so the C pass never reallocates.  A VALID alignment
+    # path consumes each graph column at most once (in-degree / ring
+    # growth <= 1 per node per round), but the bound is derived from
+    # ``align`` itself so arbitrary align_rows (fuzz, foreign deltas)
+    # are also safe: the max per-variant-group hit count bounds both
+    # the new pred slots any node can gain and its column's ring
+    # growth.  Pathological inputs (one column hit many times) would
+    # blow the padded buffers up, so extra > 8 routes to the Python
+    # loop below, which grows on demand instead.
+    if before and n:
+        hit = align[align >= 0]
+        if hit.size:
+            vn = g._nvar[:before].astype(np.int64)
+            vmask = np.arange(g._vars.shape[1]) < vn[:, None]
+            ring_min = np.where(vmask, g._vars[:before],
+                                before).min(axis=1)
+            gid = np.minimum(np.arange(before, dtype=np.int64),
+                             ring_min)
+            extra = int(np.bincount(gid[hit],
+                                    minlength=before).max(initial=0))
+        else:
+            extra = 0
+    else:
+        extra = 1 if n else 0
+    extra = max(extra, 1)
+    g._grow(n_cap=before + n,
+            pmax=g.max_in_degree() + min(extra, 8),
+            vmax=int(g._nvar[:before].max(initial=0)) + min(extra, 8))
     seq_arr = (np.frombuffer(bytes(seq), np.uint8)
                if isinstance(seq, (bytes, bytearray))
                else np.asarray(list(seq), np.uint8))
     g._csr = None
     g._succs = None
-    if os.environ.get("TSTA_NATIVE_MERGE", "1") not in ("", "0"):
+    if (extra <= 8
+            and os.environ.get("TSTA_NATIVE_MERGE", "1")
+            not in ("", "0")):
         added = _merge_native(g, seq_arr, seq_no, align)
         if added >= 0:
             g._n = before + added
             return added
     bases = g._bases
     ndeg = g._ndeg
-    preds = g._preds
-    weights = g._weights
     passing = g._passing
     nvar = g._nvar
     vars_ = g._vars
@@ -242,8 +272,10 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
         if v >= 0:
             if bases[v] == ch:
                 passing[v, seq_no] = True
-                if ndeg[v] and preds[v, 0] == prev:  # chain edge exists
-                    weights[v, 0] += 1
+                # preds/weights via the graph: _edge_py may reallocate
+                # them when a non-path align forces pred-slot growth
+                if ndeg[v] and g._preds[v, 0] == prev:  # chain edge
+                    g._weights[v, 0] += 1
                 else:
                     _edge_py(g, prev, v)
                 prev = v
@@ -259,9 +291,16 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
             if cand < 0:
                 w = nn
                 nn += 1
+                g._n = nn   # keep _n current: an on-demand _grow below
+                #             copies only rows [:_n]
                 bases[w] = ch
                 # new node's ring = [v] + v's ring; register w in every
-                # member's ring
+                # member's ring.  Grow on demand (only reachable for
+                # non-path align_rows -- the pre-grow covers valid
+                # alignments) and re-bind the reallocated buffers.
+                if k + 1 >= vars_.shape[1]:
+                    g._grow(vmax=k + 2)
+                    nvar, vars_ = g._nvar, g._vars
                 vars_[w, 0] = v
                 vars_[w, 1:k + 1] = ring
                 nvar[w] = k + 1
@@ -269,6 +308,9 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
                 nvar[v] = k + 1
                 for r in ring:
                     kr = int(nvar[r])
+                    if kr >= vars_.shape[1]:
+                        g._grow(vmax=kr + 1)
+                        nvar, vars_ = g._nvar, g._vars
                     vars_[r, kr] = w
                     nvar[r] = kr + 1
                 v = w
@@ -277,6 +319,7 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
         else:
             v = nn
             nn += 1
+            g._n = nn
             bases[v] = ch
         passing[v, seq_no] = True
         _edge_py(g, prev, v)
@@ -286,8 +329,9 @@ def _merge(g: PoaGraph, seq: bytes, seq_no: int, order,
 
 
 def _edge_py(g: PoaGraph, src: int, dst: int) -> None:
-    """add_edge without cache invalidation (the merge invalidates once;
-    capacity is pre-grown by the caller)."""
+    """add_edge without cache invalidation (the merge invalidates
+    once); grows pred slots on demand (only reachable for non-path
+    align_rows -- the pre-grow covers valid alignments)."""
     if src < 0:
         return
     nd = int(g._ndeg[dst])
@@ -296,6 +340,9 @@ def _edge_py(g: PoaGraph, src: int, dst: int) -> None:
         if row[k] == src:
             g._weights[dst, k] += 1
             return
+    if nd >= g._preds.shape[1]:
+        g._grow(pmax=nd + 1)
+        row = g._preds[dst]
     row[nd] = src
     g._weights[dst, nd] = 1
     g._ndeg[dst] = nd + 1

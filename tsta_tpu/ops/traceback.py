@@ -454,6 +454,70 @@ def _walk_kernel(nm_ref, plane_ref, moves_ref, count_ref, band_ref, sem,
     count_ref[0, 0] = t
 
 
+def _window_place(i, j, seg0, m_w, S, band_r, WS):
+    """Aligned band-window placement shared by the packed walk kernels:
+    the current word-row sits ~9 below the band top (>= band_r - 9
+    word-rows = 4x that many cells walkable down) and j's segment in
+    the right aligned half (>= WS - 8 segments = 128*(WS-8) cells
+    walkable left)."""
+    bi = pl.multiple_of(
+        jnp.clip((((i >> 2) - (band_r - 9)) // 8) * 8, 0,
+                 m_w - band_r), 8)
+    gseg = seg0 + (jnp.maximum(j, 0) >> 7)
+    s0 = pl.multiple_of(
+        jnp.clip(((gseg >> 3) << 3) - (WS - 8), 0, S - WS), 8)
+    return bi, s0
+
+
+def _window_covers(i, j, bi, s0, seg0, band_r, WS, U):
+    """True iff this iteration's U sub-steps (rows i-U..i, columns
+    j-U..j, up/left neighbour reads included) stay inside window
+    (bi, s0).  The max() clamps stop edge-pinned windows from
+    re-missing forever."""
+    return jnp.logical_not(jnp.logical_or(
+        jnp.logical_or(
+            jnp.maximum(i - U, 0) >> 2 < bi,
+            i >> 2 >= bi + band_r),
+        jnp.logical_or(
+            seg0 + (jnp.maximum(j - U, 0) >> 7) < s0,
+            seg0 + (j >> 7) >= s0 + WS)))
+
+
+def _band_substeps(read_word, i, j, t, forced, accw, bi0, s0, seg0,
+                   band_r, WS, U):
+    """The U-substep move-decode body shared by the single- and
+    double-buffered packed walk kernels (straight-line unrolled,
+    chaining the ``forced`` gap-run carry; moves pack 16-per-word into
+    ``accw``).  ``read_word(li, sg, lane)`` reads one int32 band word.
+    Returns the updated (i, j, t, forced, accw)."""
+    for _ in range(U):
+        active = jnp.logical_or(i >= 0, j >= 0)
+        in_core = jnp.logical_and(i >= 0, j >= 0)
+        j0 = jnp.maximum(j, 0)
+        jl = jnp.maximum(j - 1, 0)
+        iu = jnp.maximum(i - 1, 0)
+        li = jnp.clip((jnp.maximum(i, 0) >> 2) - bi0, 0, band_r - 1)
+        liu = jnp.clip((iu >> 2) - bi0, 0, band_r - 1)
+        sg = jnp.clip(seg0 + (j0 >> 7) - s0, 0, WS - 1)
+        sgl = jnp.clip(seg0 + (jl >> 7) - s0, 0, WS - 1)
+        w = read_word(li, sg, j0 & 127)
+        wl = read_word(li, sgl, jl & 127)
+        wu = read_word(liu, sg, j0 & 127)
+        code = jnp.where(in_core, (w >> (8 * (i & 3))) & 0xFF, 0)
+        fprev = jnp.where(
+            j > 0, (((wl >> (8 * (i & 3))) & 0xFF) // 3) % 3, 0)
+        eprev = jnp.where(
+            i > 0, ((wu >> (8 * (iu & 3))) & 0xFF) % 3, 0)
+        move, forced = _decode_step(in_core, i, j, forced, code,
+                                    fprev, eprev)
+        accw = accw | (jnp.where(active, move, 0) << (2 * (t & 15)))
+        step = active.astype(jnp.int32)
+        i = i - jnp.where(move == 0, 0, 1) * step
+        j = j - jnp.where(move == 2, 0, 1) * step
+        t = t + step
+    return i, j, t, forced, accw
+
+
 def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
                         sem, *, m_w, Rp, S, WS, band_r, U=8):
     """Grid-(P,) walk over the packed kernel's row-word plane: program p
@@ -499,16 +563,7 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
     n = nm_ref[pid, 0]
 
     def refetch(i, j):
-        # place the current word-row ~9 below the band top (>= band_r-9
-        # word-rows = 4x that many cells walkable down) and j's segment
-        # in the right aligned half (>= WS-8 segments = 128*(WS-8)
-        # cells walkable left)
-        bi = pl.multiple_of(
-            jnp.clip((((i >> 2) - (band_r - 9)) // 8) * 8, 0,
-                     m_w - band_r), 8)
-        gseg = seg0 + (jnp.maximum(j, 0) >> 7)
-        s0 = pl.multiple_of(
-            jnp.clip(((gseg >> 3) << 3) - (WS - 8), 0, S - WS), 8)
+        bi, s0 = _window_place(i, j, seg0, m_w, S, band_r, WS)
         cp = pltpu.make_async_copy(
             plane_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
             band_ref, sem)
@@ -523,48 +578,18 @@ def _walk_kernel_packed(nm_ref, plane_ref, moves_ref, count_ref, band_ref,
     def body(st):
         i, j, t, forced, accw, bi0, s0 = st
         in_core = jnp.logical_and(i >= 0, j >= 0)
-        # conservative: this iteration's U sub-steps touch at most rows
-        # i-U..i and columns j-U..j (up/left neighbour reads included);
-        # the max() clamps stop the check from re-firing forever once
-        # the window is pinned at the matrix edge
-        miss = jnp.logical_and(in_core, jnp.logical_or(
-            jnp.logical_or(
-                jnp.maximum(i - U, 0) >> 2 < bi0,
-                i >> 2 >= bi0 + band_r),
-            jnp.logical_or(
-                seg0 + (jnp.maximum(j - U, 0) >> 7) < s0,
-                seg0 + (j >> 7) >= s0 + WS)))
+        miss = jnp.logical_and(
+            in_core,
+            jnp.logical_not(_window_covers(i, j, bi0, s0, seg0,
+                                           band_r, WS, U)))
 
         bi0, s0 = jax.lax.cond(miss, lambda _: refetch(i, j),
                                lambda _: (bi0, s0), None)
 
         t0 = t
-        for _ in range(U):
-            active = jnp.logical_or(i >= 0, j >= 0)
-            in_core = jnp.logical_and(i >= 0, j >= 0)
-            j0 = jnp.maximum(j, 0)
-            jl = jnp.maximum(j - 1, 0)
-            iu = jnp.maximum(i - 1, 0)
-            li = jnp.clip((jnp.maximum(i, 0) >> 2) - bi0, 0, band_r - 1)
-            liu = jnp.clip((iu >> 2) - bi0, 0, band_r - 1)
-            sg = jnp.clip(seg0 + (j0 >> 7) - s0, 0, WS - 1)
-            sgl = jnp.clip(seg0 + (jl >> 7) - s0, 0, WS - 1)
-            w = band_ref[li, sg, j0 & 127]
-            wl = band_ref[li, sgl, jl & 127]
-            wu = band_ref[liu, sg, j0 & 127]
-            code = jnp.where(in_core,
-                             (w >> (8 * (i & 3))) & 0xFF, 0)
-            fprev = jnp.where(
-                j > 0, (((wl >> (8 * (i & 3))) & 0xFF) // 3) % 3, 0)
-            eprev = jnp.where(
-                i > 0, ((wu >> (8 * (iu & 3))) & 0xFF) % 3, 0)
-            move, forced = _decode_step(in_core, i, j, forced, code,
-                                        fprev, eprev)
-            accw = accw | (jnp.where(active, move, 0) << (2 * (t & 15)))
-            step = active.astype(jnp.int32)
-            i = i - jnp.where(move == 0, 0, 1) * step
-            j = j - jnp.where(move == 2, 0, 1) * step
-            t = t + step
+        i, j, t, forced, accw = _band_substeps(
+            lambda li, sg, lane: band_ref[li, sg, lane],
+            i, j, t, forced, accw, bi0, s0, seg0, band_r, WS, U)
 
         # completed a 16-move word exactly at the body boundary
         full = jnp.logical_and(t != t0, (t & 15) == 0)
@@ -608,13 +633,7 @@ def _walk_kernel_packed_db(nm_ref, plane_ref, moves_ref, count_ref,
     n = nm_ref[pid, 0]
 
     def place(i, j):
-        bi = pl.multiple_of(
-            jnp.clip((((i >> 2) - (band_r - 9)) // 8) * 8, 0,
-                     m_w - band_r), 8)
-        gseg = seg0 + (jnp.maximum(j, 0) >> 7)
-        s0 = pl.multiple_of(
-            jnp.clip(((gseg >> 3) << 3) - (WS - 8), 0, S - WS), 8)
-        return bi, s0
+        return _window_place(i, j, seg0, m_w, S, band_r, WS)
 
     def start(buf, bi, s0):
         return pltpu.make_async_copy(
@@ -622,14 +641,7 @@ def _walk_kernel_packed_db(nm_ref, plane_ref, moves_ref, count_ref,
             band_ref.at[buf], sems.at[buf])
 
     def covers(i, j, bi, s0):
-        """This iteration's U sub-steps stay inside window (bi, s0)."""
-        return jnp.logical_not(jnp.logical_or(
-            jnp.logical_or(
-                jnp.maximum(i - U, 0) >> 2 < bi,
-                i >> 2 >= bi + band_r),
-            jnp.logical_or(
-                seg0 + (jnp.maximum(j - U, 0) >> 7) < s0,
-                seg0 + (j >> 7) >= s0 + WS)))
+        return _window_covers(i, j, bi, s0, seg0, band_r, WS, U)
 
     def cond(st):
         i, j = st[0], st[1]
@@ -679,32 +691,9 @@ def _walk_kernel_packed_db(nm_ref, plane_ref, moves_ref, count_ref,
             lambda _: (bi0, s0, buf, pbi, ps0, pv), None)
 
         t0 = t
-        for _ in range(U):
-            active = jnp.logical_or(i >= 0, j >= 0)
-            in_core = jnp.logical_and(i >= 0, j >= 0)
-            j0 = jnp.maximum(j, 0)
-            jl = jnp.maximum(j - 1, 0)
-            iu = jnp.maximum(i - 1, 0)
-            li = jnp.clip((jnp.maximum(i, 0) >> 2) - bi0, 0, band_r - 1)
-            liu = jnp.clip((iu >> 2) - bi0, 0, band_r - 1)
-            sg = jnp.clip(seg0 + (j0 >> 7) - s0, 0, WS - 1)
-            sgl = jnp.clip(seg0 + (jl >> 7) - s0, 0, WS - 1)
-            w = band_ref[buf, li, sg, j0 & 127]
-            wl = band_ref[buf, li, sgl, jl & 127]
-            wu = band_ref[buf, liu, sg, j0 & 127]
-            code = jnp.where(in_core,
-                             (w >> (8 * (i & 3))) & 0xFF, 0)
-            fprev = jnp.where(
-                j > 0, (((wl >> (8 * (i & 3))) & 0xFF) // 3) % 3, 0)
-            eprev = jnp.where(
-                i > 0, ((wu >> (8 * (iu & 3))) & 0xFF) % 3, 0)
-            move, forced = _decode_step(in_core, i, j, forced, code,
-                                        fprev, eprev)
-            accw = accw | (jnp.where(active, move, 0) << (2 * (t & 15)))
-            step = active.astype(jnp.int32)
-            i = i - jnp.where(move == 0, 0, 1) * step
-            j = j - jnp.where(move == 2, 0, 1) * step
-            t = t + step
+        i, j, t, forced, accw = _band_substeps(
+            lambda li, sg, lane: band_ref[buf, li, sg, lane],
+            i, j, t, forced, accw, bi0, s0, seg0, band_r, WS, U)
 
         full = jnp.logical_and(t != t0, (t & 15) == 0)
 
