@@ -602,8 +602,17 @@ def align_seqs_many(seq_sets: List[List[bytes]],
         if not isinstance(scores_d, np.ndarray):
             # pack [best, score, align...] into the async chain so the
             # drain below pays ONE device read, not three
-            out = (msa_pallas.pack_round(scores_d, align_d, best_d),
-                   order)
+            packed = msa_pallas.pack_round(scores_d, align_d, best_d)
+            try:
+                # enqueue the device->host transfer NOW: the drain's
+                # np.asarray then finds the bytes already in flight, so
+                # the per-round tunnel RTTs of different problems
+                # overlap instead of serialising (24 syncs x ~30 ms was
+                # most of the 6-problem fleet wall)
+                packed.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-dependent
+                pass
+            out = (packed, order)
         st["pending"] = (seq_no, seq, out)
 
     active = True

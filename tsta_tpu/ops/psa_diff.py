@@ -1003,8 +1003,13 @@ def _traced_packed_sharded(seq_pairs, p, mesh, n_real, m_real):
             a8[g, k * Rp:(k + 1) * Rp] = arow.reshape(Rp, LANES)
             brows8[g, :m_real[i], k] = b
             nm[g, k] = (n_real[i], m_real[i])
-        pendings.append(fn(jnp.asarray(a8), jnp.asarray(brows8),
-                           jnp.asarray(nm)))
+        pend = fn(jnp.asarray(a8), jnp.asarray(brows8),
+                  jnp.asarray(nm))
+        try:
+            pend.copy_to_host_async()   # overlap per-call drain RTTs
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        pendings.append(pend)
     packed = np.concatenate([np.asarray(x) for x in pendings], axis=0)
     return [_emit_packed_row(packed[i // P, i % P], seq_pairs[i][0],
                              seq_pairs[i][1], n_real[i], m_real[i])
@@ -1107,10 +1112,18 @@ def psa_align_batch_traced_packed(seq_pairs, params, mesh=None):
         banded = _banded_walk_gate(Rp, m_pad, P, n_pad)
         spec = os.environ.get("TSTA_SPEC_WALK", "1") not in ("", "0")
         db = os.environ.get("TSTA_WALK_DB", "1") not in ("", "0")
-        pendings.append((g, (
-            _traced_packed_chain(
-                jnp.asarray(a8), jnp.asarray(brows8), jnp.asarray(nm),
-                n_pad, m_pad, P, p, banded, spec, db), g)))
+        chain = _traced_packed_chain(
+            jnp.asarray(a8), jnp.asarray(brows8), jnp.asarray(nm),
+            n_pad, m_pad, P, p, banded, spec, db)
+        try:
+            # enqueue the device->host transfer at dispatch time so the
+            # per-group tunnel RTTs overlap instead of serialising in
+            # the drain below (same lever as align_seqs_many's fleet:
+            # one line, 3.4x on the 6-problem fleet)
+            chain.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        pendings.append((g, (chain, g)))
 
     results = [None] * B
     for g, pend in pendings:
@@ -1245,6 +1258,12 @@ def psa_align_batch_diff(seq_pairs, params, use_int16=None, mesh=None,
     else:
         fn = _sharded_call(mesh, n_pad, m_pad, P, p, use_int16, layout)
         scores, corners = fn(*args)
+    try:
+        # overlap the two result transfers (each sync pays a tunnel RTT)
+        scores.copy_to_host_async()
+        corners.copy_to_host_async()
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
     return np.asarray(scores)[0, :B], np.asarray(corners)[0, :B]
 
 
