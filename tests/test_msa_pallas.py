@@ -367,3 +367,44 @@ def test_chunked_window_top_topology(monkeypatch):
     monkeypatch.delenv("TSTA_HBM_BUDGET_GB")
     assert out.round_scores == ref.round_scores
     assert out.rows == ref.rows and out.consensus == ref.consensus
+
+
+def test_chunked_fused_window_matches_single(monkeypatch):
+    """The fused two-chunk banded backward (three planes live) must
+    match the single-call path bit-for-bit.  Budget chosen so the plan
+    chunks into >= 3 chunks AND the three-plane gate is on (the tiny
+    budgets of the other chunked tests force the one-chunk-per-sync
+    fallback)."""
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(33)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 1600).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08), _mutate(rng, base, 0.05)]
+
+    def run():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        outs = []
+        for sno in (1, 2):
+            scores, align, best_row, order = msa_pallas.round_dp_fused(
+                g, seqs[sno], params)
+            best_row = int(best_row)
+            sc = int(np.asarray(scores)[0, best_row])
+            msa_native._merge(g, seqs[sno], sno, order,
+                              np.asarray(align)[:len(seqs[sno])])
+            g.toposort()
+            outs.append((sc, list(np.asarray(align)[:len(seqs[sno])])))
+        return outs, g.msa_rows(), g.consensus()
+
+    ref = run()
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.011")
+    n = msa_pallas.bucket(len(seqs[1]))
+    NC = msa_pallas._round_plan(2048, n, 16)
+    assert NC is not None and 2048 // NC >= 3, (NC, n)
+    assert 6 * NC * n <= msa_pallas._hbm_budget() // 2  # fused gate ON
+    chunked = run()
+    monkeypatch.delenv("TSTA_HBM_BUDGET_GB")
+    assert chunked[0] == ref[0]
+    assert chunked[1] == ref[1]
+    assert chunked[2] == ref[2]

@@ -725,8 +725,13 @@ def _poa_walk_bounded_kernel(scal_ref, preds_ref, words_ref,
 
     def cond(st):
         row, j, state, cnt, bi0, s0 = st
+        # row - base < 2*m_w keeps an out-of-chunk-ABOVE entry a no-op
+        # (the fused two-chunk walk chains kernels unconditionally;
+        # without it an above-chunk entry would spin on refetch misses
+        # forever: live stays false, cnt never advances)
         return jnp.logical_and(
-            jnp.logical_and(j >= 0, row >= base), cnt < CAP - U)
+            jnp.logical_and(j >= 0, row >= base),
+            jnp.logical_and(row - base < 2 * m_w, cnt < CAP - U))
 
     def body(st):
         row, j, state, cnt, bi0, s0 = st
@@ -854,6 +859,21 @@ def _walk_bounded_banded(words_c, preds_c, row, j, state, align, base,
                          n, NC):
     return _walk_bounded_banded_ops(words_c, preds_c, row, j, state,
                                     align, base, n, NC)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "NC"))
+def _walk_bounded_banded2(words_hi, preds_hi, words_lo, preds_lo,
+                          row, j, state, align, base_hi, n, NC):
+    """Walk TWO adjacent chunks in one dispatch (banded counterpart of
+    :func:`_walk_bounded2`): halves the per-chunk host sync RTTs of the
+    chunked backward.  Both kernel calls run unconditionally -- the
+    bounded kernel's ``row - base < 2*m_w`` cond clause makes the lo
+    call a no-op when the hi walk finished (j < 0), CAP-exited inside
+    the hi chunk, or jumped past chunk lo entirely."""
+    row, j, state, align = _walk_bounded_banded_ops(
+        words_hi, preds_hi, row, j, state, align, base_hi, n, NC)
+    return _walk_bounded_banded_ops(
+        words_lo, preds_lo, row, j, state, align, base_hi - NC, n, NC)
 
 
 def _walk_banded_ok(N, max_in, n, Rp):
@@ -1213,9 +1233,14 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     pending: dict = {}
     if words_last is not None:
         pending[nchunks - 1] = words_last
+    # fused two-chunk banded windows keep THREE planes alive (hi + lo +
+    # the speculative remat); gate on the budget, fall back to the
+    # one-chunk-per-sync loop when a third plane would not fit
+    fused2 = banded_w and 6 * NC * n <= _hbm_budget() // 2
     while row >= 0 and j >= 0:
         c = row // NC
         words_c = pending.pop(c, None)
+        words_lo = pending.pop(c - 1, None) if fused2 else None
         if words_c is None:
             words_c = remat(c)
         pending.clear()   # drop stale speculative planes
@@ -1224,11 +1249,26 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
             # gather walk); align updates ride an XLA scatter of the
             # kernel's consumed-column log
             preds_c = jnp.asarray(predsT[:, c * NC:(c + 1) * NC])
-            pend_walk = _walk_bounded_banded(
-                words_c, preds_c, jnp.int32(row), jnp.int32(j),
-                jnp.int32(state), align, jnp.int32(c * NC), n, NC)
-            if c > 0:
-                pending[c - 1] = remat(c - 1)
+            if fused2 and c > 0:
+                # two chunks per sync: the bounded kernel's chunk-span
+                # cond makes the lo call a no-op when the hi walk
+                # finished or jumped past chunk lo
+                if words_lo is None:
+                    words_lo = remat(c - 1)
+                preds_lo = jnp.asarray(
+                    predsT[:, (c - 1) * NC:c * NC])
+                pend_walk = _walk_bounded_banded2(
+                    words_c, preds_c, words_lo, preds_lo,
+                    jnp.int32(row), jnp.int32(j), jnp.int32(state),
+                    align, jnp.int32(c * NC), n, NC)
+                if c > 1:
+                    pending[c - 2] = remat(c - 2)
+            else:
+                pend_walk = _walk_bounded_banded(
+                    words_c, preds_c, jnp.int32(row), jnp.int32(j),
+                    jnp.int32(state), align, jnp.int32(c * NC), n, NC)
+                if c > 0:
+                    pending[c - 1] = remat(c - 1)
         elif c > 0:
             # two chunks per dispatch + one speculative remat: halves
             # the per-chunk sync RTTs AND keeps the next pair's first
