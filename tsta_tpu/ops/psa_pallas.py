@@ -872,6 +872,7 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
         pending[c] = plane_last
     while i >= 0 or j >= 0:
         plane_c = pending.pop(c, None)
+        plane_lo = pending.pop(c - 1, None) if banded_w else None
         if plane_c is None:
             plane_c = remat(c)
         pending.clear()   # drop stale speculative planes (skipped chunks)
@@ -884,17 +885,31 @@ def psa_align_traced_chunked(a: np.ndarray, b: np.ndarray, params,
             # (~10x the XLA gather walk); the previous chunk's last row
             # rides SMEM packed 4 codes per word
             prevw = _pack_prev_row(prev_row)
-            pend_walk = tb._decode_moves_bounded_banded(
-                plane_c, prevw, jnp.int32(i), jnp.int32(j),
-                jnp.int32(t), jnp.int32(forced), moves,
-                jnp.int32(c * mc), CAP)
+            if c > 0:
+                # two chunks per sync: the bounded kernel's chunk-span
+                # cond makes the lo call a no-op when the hi walk
+                # finished or CAP-exited inside its chunk
+                if plane_lo is None:
+                    plane_lo = remat(c - 1)
+                prev_lo = last_rows[c - 2] if c > 1 else zrow
+                pend_walk = tb._decode_moves_bounded_banded2(
+                    plane_c, prevw, plane_lo, _pack_prev_row(prev_lo),
+                    jnp.int32(i), jnp.int32(j), jnp.int32(t),
+                    jnp.int32(forced), moves, jnp.int32(c * mc), CAP)
+                if c > 1:
+                    pending[c - 2] = remat(c - 2)
+            else:
+                pend_walk = tb._decode_moves_bounded_banded(
+                    plane_c, prevw, jnp.int32(i), jnp.int32(j),
+                    jnp.int32(t), jnp.int32(forced), moves,
+                    jnp.int32(c * mc), CAP)
         else:
             pend_walk = tb._decode_moves_bounded(
                 plane_c.reshape(mc // 4, n_pad), jnp.int32(i),
                 jnp.int32(j), jnp.int32(t), jnp.int32(forced), moves,
                 jnp.int32(c * mc), prev_row)
-        if c > 0:
-            pending[c - 1] = remat(c - 1)
+            if c > 0:
+                pending[c - 1] = remat(c - 1)
         i_d, j_d, t_d, forced_d, moves = pend_walk
         i, j, t, forced = int(i_d), int(j_d), int(t_d), int(forced_d)
         if i < 0:

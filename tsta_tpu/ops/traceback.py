@@ -764,8 +764,13 @@ def _walk_kernel_bounded(scal_ref, prevw_ref, plane_ref, out_ref,
         more = jnp.logical_or(i >= 0, j >= 0)
         in_chunk = jnp.logical_or(i >= base,
                                   jnp.logical_and(base == 0, j >= 0))
-        return jnp.logical_and(jnp.logical_and(more, in_chunk),
-                               cnt < CAP - U)
+        # i - base < 4*m_w keeps an out-of-chunk-ABOVE entry a no-op
+        # (the fused two-chunk walk chains kernels unconditionally; an
+        # above-chunk entry would otherwise spin on refetch misses)
+        return jnp.logical_and(
+            jnp.logical_and(more, in_chunk),
+            jnp.logical_and(cnt < CAP - U,
+                            jnp.maximum(i - base, 0) < 4 * m_w))
 
     def body(st):
         i, j, forced, cnt, bi0, s0 = st
@@ -829,6 +834,29 @@ def _decode_moves_bounded_banded(plane_w3, prevw, i, j, t, forced,
     in its NATIVE 3-D layout (no reshape/bitcast); ``prevw``: the
     previous chunk's last row packed 4 codes per word, (1, n_pad//4)
     int32.  Returns (i, j, t, forced, moves)."""
+    return _bounded_banded_ops(plane_w3, prevw, i, j, t, forced,
+                               moves, base, CAP)
+
+
+@functools.partial(jax.jit, static_argnames=("CAP",))
+def _decode_moves_bounded_banded2(plane_hi, prevw_hi, plane_lo,
+                                  prevw_lo, i, j, t, forced, moves,
+                                  base_hi, CAP):
+    """Walk TWO adjacent chunks per dispatch (banded): chains the
+    device (i, j, t, forced, moves) between the two kernel calls with
+    no host round-trip, halving the chunked backward's per-chunk sync
+    RTTs.  Both calls run unconditionally -- the bounded kernel's
+    chunk-span cond clause makes the lo call a no-op when the hi walk
+    finished, CAP-exited inside its chunk, or base_hi == 0."""
+    mc = plane_hi.shape[0] * 4
+    i, j, t, forced, moves = _bounded_banded_ops(
+        plane_hi, prevw_hi, i, j, t, forced, moves, base_hi, CAP)
+    return _bounded_banded_ops(plane_lo, prevw_lo, i, j, t, forced,
+                               moves, base_hi - mc, CAP)
+
+
+def _bounded_banded_ops(plane_w3, prevw, i, j, t, forced, moves, base,
+                        CAP):
     m_w, Rp, L = plane_w3.shape
     band_r = min(_WBAND_PSA_R, m_w)
     WS = min(_BAND_WS, Rp)
