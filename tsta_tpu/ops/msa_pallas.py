@@ -862,18 +862,21 @@ def _walk_bounded_banded(words_c, preds_c, row, j, state, align, base,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "NC"))
-def _walk_bounded_banded2(words_hi, preds_hi, words_lo, preds_lo,
-                          row, j, state, align, base_hi, n, NC):
-    """Walk TWO adjacent chunks in one dispatch (banded counterpart of
-    :func:`_walk_bounded2`): halves the per-chunk host sync RTTs of the
-    chunked backward.  Both kernel calls run unconditionally -- the
-    bounded kernel's ``row - base < 2*m_w`` cond clause makes the lo
-    call a no-op when the hi walk finished (j < 0), CAP-exited inside
-    the hi chunk, or jumped past chunk lo entirely."""
-    row, j, state, align = _walk_bounded_banded_ops(
-        words_hi, preds_hi, row, j, state, align, base_hi, n, NC)
-    return _walk_bounded_banded_ops(
-        words_lo, preds_lo, row, j, state, align, base_hi - NC, n, NC)
+def _walk_bounded_bandedK(words_list, preds_list, row, j, state, align,
+                          base_hi, n, NC):
+    """Walk K ADJACENT chunks (descending) in one dispatch: the device
+    (row, j, state, align) scalars chain between the kernel calls with
+    no host round-trip, dividing the chunked backward's per-chunk sync
+    RTTs by K.  Every call runs unconditionally -- the bounded kernel's
+    ``row - base < 2*m_w`` cond clause makes a call a no-op when the
+    walk already finished (j < 0), CAP-exited in an earlier chunk, or
+    jumped past this one entirely."""
+    base = base_hi
+    for words_c, preds_c in zip(words_list, preds_list):
+        row, j, state, align = _walk_bounded_banded_ops(
+            words_c, preds_c, row, j, state, align, base, n, NC)
+        base = base - NC
+    return row, j, state, align
 
 
 def _walk_banded_ok(N, max_in, n, Rp):
@@ -1233,42 +1236,38 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     pending: dict = {}
     if words_last is not None:
         pending[nchunks - 1] = words_last
-    # fused two-chunk banded windows keep THREE planes alive (hi + lo +
-    # the speculative remat); gate on the budget, fall back to the
-    # one-chunk-per-sync loop when a third plane would not fit
-    fused2 = banded_w and 6 * NC * n <= _hbm_budget() // 2
+    # fused K-chunk banded windows keep K+1 planes alive (K window
+    # members + the speculative remat): size K from the budget, fall
+    # back to the one-chunk-per-sync loop when a third plane would not
+    # fit.  Each window pays ONE host sync for K chunks' walks.
+    K = 1
+    if banded_w:
+        K = max(1, min(4, int(_hbm_budget() // 2 // (2 * NC * n)) - 1))
     while row >= 0 and j >= 0:
         c = row // NC
-        words_c = pending.pop(c, None)
-        words_lo = pending.pop(c - 1, None) if fused2 else None
-        if words_c is None:
-            words_c = remat(c)
+        lo = max(c - K + 1, 0)
+        chunks = list(range(c, lo - 1, -1))
+        words = [pending.pop(cc, None) for cc in chunks]
         pending.clear()   # drop stale speculative planes
+        words = [w if w is not None else remat(cc)
+                 for w, cc in zip(words, chunks)]
+        words_c = words[0]
         if banded_w:
             # banded SMEM walk over the chunk plane (~10x the XLA
             # gather walk); align updates ride an XLA scatter of the
             # kernel's consumed-column log
-            preds_c = jnp.asarray(predsT[:, c * NC:(c + 1) * NC])
-            if fused2 and c > 0:
-                # two chunks per sync: the bounded kernel's chunk-span
-                # cond makes the lo call a no-op when the hi walk
-                # finished or jumped past chunk lo
-                if words_lo is None:
-                    words_lo = remat(c - 1)
-                preds_lo = jnp.asarray(
-                    predsT[:, (c - 1) * NC:c * NC])
-                pend_walk = _walk_bounded_banded2(
-                    words_c, preds_c, words_lo, preds_lo,
-                    jnp.int32(row), jnp.int32(j), jnp.int32(state),
-                    align, jnp.int32(c * NC), n, NC)
-                if c > 1:
-                    pending[c - 2] = remat(c - 2)
+            preds_l = [jnp.asarray(predsT[:, cc * NC:(cc + 1) * NC])
+                       for cc in chunks]
+            if len(chunks) > 1:
+                pend_walk = _walk_bounded_bandedK(
+                    words, preds_l, jnp.int32(row), jnp.int32(j),
+                    jnp.int32(state), align, jnp.int32(c * NC), n, NC)
             else:
                 pend_walk = _walk_bounded_banded(
-                    words_c, preds_c, jnp.int32(row), jnp.int32(j),
+                    words[0], preds_l[0], jnp.int32(row), jnp.int32(j),
                     jnp.int32(state), align, jnp.int32(c * NC), n, NC)
-                if c > 0:
-                    pending[c - 1] = remat(c - 1)
+            if lo > 0:
+                pending[lo - 1] = remat(lo - 1)
         elif c > 0:
             # two chunks per dispatch + one speculative remat: halves
             # the per-chunk sync RTTs AND keeps the next pair's first
