@@ -37,19 +37,26 @@ def main(trials):
         b[m] = bases[rng.integers(0, 4, m.sum())]
         return a, np.delete(b, rng.integers(0, n, max(n // 40, 1)))
 
+    PARAMS = [(2, -5, -2, -4), (2, -3, -2, -4), (1, -1, -1, 0),
+              (5, -4, -1, -10), (3, -2, -3, -1)]
     for t in range(trials):
         n = int(rng.integers(900, 9000))
         a, b = mk(n)
+        pt = PARAMS[t % len(PARAMS)]   # sweep scoring params too
+
+        class _P:
+            match, mismatch, gap_extend, gap_open = pt
+
         sc, co, aln = psa_diff.psa_align_batch_traced_packed(
-            [(a, b)], p)[0]
-        assert tb.score_alignment(aln.a_row, aln.b_row, params) == co, \
-            ("packed rescore", t, n)
+            [(a, b)], pt)[0]
+        assert tb.score_alignment(aln.a_row, aln.b_row, _P) == co, \
+            ("packed rescore", t, n, pt)
         mc = 512 * int(rng.integers(1, 4))
-        s2, c2, aln2 = psa_pallas.psa_align_traced_chunked(a, b, p,
+        s2, c2, aln2 = psa_pallas.psa_align_traced_chunked(a, b, pt,
                                                            mc=mc)
         assert (sc, co) == (s2, c2) and aln == aln2, \
-            ("chunked mismatch", t, n, mc)
-        print(f"tpu soak {t + 1}/{trials} ok (n={n}, mc={mc})",
+            ("chunked mismatch", t, n, mc, pt)
+        print(f"tpu soak {t + 1}/{trials} ok (n={n}, mc={mc}, p={pt})",
               flush=True)
     print("TPU SOAK CLEAN", flush=True)
 
