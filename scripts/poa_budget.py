@@ -57,7 +57,7 @@ def main():
     g.toposort()
 
     p, prep, n, n_real, NC, a2d = msa_pallas._prep_round(g, r2, params)
-    (predsT, pmaskT, bases_t, hm1p, hm1own, N, max_in, W,
+    (predsT, pmaskT, bases_t, fills, N, max_in, W,
      order, preds) = prep
     assert NC is None, "chunked at this size?"
     chain_frac = float(np.mean(
@@ -69,20 +69,20 @@ def main():
           f"chain={chain_frac:.2%}", flush=True)
 
     args = (jnp.asarray(predsT), jnp.asarray(pmaskT),
-            jnp.asarray(bases_t), jnp.asarray(hm1p), jnp.asarray(hm1own),
+            jnp.asarray(bases_t), jnp.asarray(fills),
             a2d)
-    nrow = jnp.asarray([[n_real, 0]], np.int32)
+    nrow = jnp.asarray([[n_real, 0, 0]], np.int32)
     Rp = n // msa_pallas.LANES
 
     @functools.partial(jax.jit, static_argnames=("K", "ablate"))
-    def callK(preds, pmask, bt, hm1p, hm1own, a2d, K, ablate):
+    def callK(preds, pmask, bt, fills, a2d, K, ablate):
         tot = jnp.int32(0)
         ring0 = jnp.zeros((W, 2 * Rp, msa_pallas.LANES), jnp.int32)
         for _ in range(K):
             nr, tot = jax.lax.optimization_barrier((nrow, tot))
-            words, scores, _ = msa_pallas._poa_chunk_call(
-                preds, pmask, bt, hm1p, hm1own, nr, a2d, ring0,
-                N, n, W, max_in, p, ablate)
+            words, scores, _, _ = msa_pallas._poa_chunk_call(
+                preds, pmask, bt, fills, nr, a2d, ring0,
+                N, n, W, max_in, p, ablate=ablate)
             tot = (tot + scores[0, -1]
                    + words[0, 0, 0].astype(jnp.int32))
         return tot

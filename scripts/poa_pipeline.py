@@ -65,13 +65,13 @@ def main():
     prep_out = t("prep (host)", lambda: msa_pallas._prep_round(
         g, r2, params))
     p, prep, n, n_real, NC, a2d = prep_out
-    (predsT, pmaskT, bases_t, hm1p, hm1own, N, max_in, W,
+    (predsT, pmaskT, bases_t, fills, N, max_in, W,
      order2, preds2) = prep
 
     # host->device uploads
     def upload():
         return tuple(map(jnp.asarray,
-                         (predsT, pmaskT, bases_t, hm1p, hm1own)))
+                         (predsT, pmaskT, bases_t, fills)))
     up = t("upload tensors", upload)
     nrow = jnp.asarray([[n_real]], np.int32)
 

@@ -408,3 +408,50 @@ def test_chunked_fused_window_matches_single(monkeypatch):
     assert chunked[0] == ref[0]
     assert chunked[1] == ref[1]
     assert chunked[2] == ref[2]
+
+
+def test_chunked_windowed_remat_matches_single(monkeypatch):
+    """Column-windowed rematerialisation (n a multiple of 1024 turns on
+    boundary checkpoints + per-window remats in the chunked backward)
+    must match the single-call path bit-for-bit, and must actually
+    engage (spied via _ring_window).  Also pins the env opt-out."""
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(41)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 2000).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08)]
+    assert msa_pallas.bucket(len(seqs[1])) == 2048  # NWIN = 2
+    assert msa_pallas._ckpt_windows(2048) == 2
+
+    def run():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        scores, align, best_row, order = msa_pallas.round_dp_fused(
+            g, seqs[1], params)
+        best_row = int(best_row)
+        sc = int(np.asarray(scores)[0, best_row])
+        al = list(np.asarray(align)[:len(seqs[1])])
+        msa_native._merge(g, seqs[1], 1, order, np.asarray(align)[
+            :len(seqs[1])])
+        g.toposort()
+        return sc, al, g.msa_rows(), g.consensus()
+
+    ref = run()
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.01")
+    NC = msa_pallas._round_plan(2048, 2048, 16)
+    assert NC is not None and 2048 // NC >= 2, NC
+    spied = []
+    orig = msa_pallas._ring_window
+    monkeypatch.setattr(
+        msa_pallas, "_ring_window",
+        lambda *a, **k: (spied.append(1), orig(*a, **k))[1])
+    windowed = run()
+    assert spied, "windowed remat did not engage"
+    assert windowed == ref
+    # env opt-out falls back to the full-width chunked backward
+    monkeypatch.setenv("TSTA_WINDOWED_REMAT", "0")
+    spied.clear()
+    full = run()
+    assert not spied
+    assert full == ref

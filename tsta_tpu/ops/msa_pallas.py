@@ -55,13 +55,32 @@ LANES = 128
 NEG32 = -(2 ** 28)
 
 
-def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
+def _poa_kernel(preds_ref, pmask_ref, bases_ref, fills_ref,
                 nreal_ref,
                 a_ref, sin_ref,
-                words_ref, scores_ref, sbuf_ref,
-                sp_ref, stage_ref, stage16_ref,
-                gsem, wsem,
-                *, NB, Rp, W, max_in, params, ablate=""):
+                *rest,
+                NB, Rp, W, max_in, params, NW=0, ablate=""):
+    # ``fills_ref`` (4, NB) SMEM carries every left-boundary seed the
+    # row recurrence needs, per node: row 0 = diag H fill (max over
+    # preds of H(p, -1), or of H(p, col0-1) in window mode), row 1 =
+    # its argmax (h_pred fill), row 2 = the F running-max seed
+    # (H(v,-1)+e, or the checkpointed prefix q_b), row 3 = the f_ext
+    # F(v, -1) fill (NEG32, or the checkpointed F(v, col0-1)).
+    # Computing them host/XLA-side (instead of in-kernel from hm1p)
+    # is what lets a REMAT call start the DP at an arbitrary column
+    # window col0 (the chunked backward's cost is windowed remat).
+    # ``NW`` > 0 turns on checkpoint emission: per node one (NW, 128)
+    # int32 slab whose boundary-w lanes hold 127=H, 126=q, 125=F at
+    # column (w+1)*CW-1.
+    if NW > 0:
+        (words_ref, scores_ref, sbuf_ref, ckpt_ref,
+         sp_ref, stage_ref, stage16_ref, ckstage_ref,
+         gsem, wsem) = rest
+    else:
+        ckpt_ref = ckstage_ref = None
+        (words_ref, scores_ref, sbuf_ref,
+         sp_ref, stage_ref, stage16_ref,
+         gsem, wsem) = rest
     # ``ablate``: profiling-only switches (scripts/poa_budget.py) that
     # disable one cost component at a time to measure the per-node
     # budget -- "noword" (traceback emission: flag computation +
@@ -99,7 +118,7 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
     blk = pl.program_id(0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 1)
     sub_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 0)
-    col_idx = sub_idx * LANES + lane_idx
+    col_idx = nreal_ref[0, 2] + sub_idx * LANES + lane_idx
     lane0m = lane_idx == 0
     seg0 = sub_idx == 0
     origin = jnp.logical_and(lane0m, seg0)
@@ -116,6 +135,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         k *= 2
     colE = col_idx * e_
     oColE = o_ + colE
+    if NW > 0:
+        lane_nw = jax.lax.broadcasted_iota(jnp.int32, (NW, LANES), 1)
     a32 = a_ref[:]
     n_real = nreal_ref[0, 0]
     # chunk_base: global topo row of this call's first node.  0 for the
@@ -173,6 +194,11 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 pltpu.make_async_copy(stage_ref.at[0],
                                       sbuf_ref.at[ig % W],
                                       wsem.at[1]).wait()
+            if NW > 0:
+                pltpu.make_async_copy(ckstage_ref.at[0],
+                                      ckpt_ref.at[jnp.maximum(il - 1,
+                                                              0)],
+                                      wsem.at[2]).wait()
 
         # ---- gather predecessor state (ring slots); all DMAs start
         # before any wait so their latencies overlap.  H and E live
@@ -208,8 +234,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         ebest = jnp.full((Rp, LANES), NEG32, jnp.int32)
         eargm = jnp.zeros((Rp, LANES), jnp.int32)
         eext = jnp.zeros((Rp, LANES), jnp.int32)
-        fill_h = jnp.int32(NEG32)       # max_k Hm1p (diag boundary)
-        fill_arg = jnp.int32(0)         # argmax of the boundary column
+        fill_h = fills_ref[0, i]        # diag boundary (host/XLA-built)
+        fill_arg = fills_ref[1, i]      # argmax of the boundary column
         for kk in range(max_in):
             pr = preds_ref[kk, i]
             valid = pmask_ref[kk, i] != 0
@@ -231,9 +257,6 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
             eargm = jnp.where(upde, kk, eargm)
             eext = jnp.where(upde, (ep + e_ == ec).astype(jnp.int32),
                              eext)
-            hm1k = jnp.where(valid, hm1p_ref[kk, i], NEG32)
-            fill_arg = jnp.where(hm1k > fill_h, kk, fill_arg)
-            fill_h = jnp.maximum(fill_h, hm1k)
 
         base = bases_ref[0, i]
         sub = jnp.where(a32 == base, m_, x_)
@@ -254,9 +277,8 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         e_row = ebest
         c = jnp.maximum(diag, e_row)
 
-        hv_m1 = hm1own_ref[0, i]                 # own H(v,-1)
         y = c - colE
-        p = shift1(y, hv_m1 + e_)
+        p = shift1(y, fills_ref[2, i])     # F running-max seed
         if "nof" not in ablate:
             k = 1
             while k < LANES:
@@ -276,11 +298,13 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                 k *= 2
             cyt = pltpu.roll(t, shift=1, axis=0)
             carry_seg = jnp.where(seg0, NEG32, cyt[:, LANES - 1:LANES])
-        f_row = oColE + jnp.maximum(p, carry_seg)
+        pc = jnp.maximum(p, carry_seg)
+        f_row = oColE + pc
         h_row = jnp.maximum(c, f_row)
 
-        # f_ext: F(v,j) == F(v,j-1) + e  (shift fills NEG at column 0)
-        f_prev = shift1(f_row, NEG32)
+        # f_ext: F(v,j) == F(v,j-1) + e  (shift fills the column-left
+        # boundary: NEG32 at col 0, the checkpointed F in window mode)
+        f_prev = shift1(f_row, fills_ref[3, i])
         f_ext = (f_row == f_prev + e_).astype(jnp.int32)
         h_type = jnp.where(h_row == diag, 0,
                            jnp.where(h_row == e_row, 1, 2))
@@ -310,6 +334,29 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
                               sbuf_ref.at[(ig + 1) % W],
                               wsem.at[1]).start()
 
+        if NW > 0:
+            # boundary checkpoints: the H / running-max-q / F values at
+            # the last column of each of the NW windows, packed into
+            # lanes 127/126/125 of one (NW, 128) slab (the lane rolls
+            # cost ~2 cross-lane ops on a tiny array; everything else
+            # is sublane-strided).  The windowed remat reads lanes
+            # 127/126/125 of boundary w-1 as its fills.
+            q = jnp.maximum(pc, y)
+            CWs = Rp // NW
+            hb = jax.lax.slice(h_row, (CWs - 1, 0), (Rp, LANES),
+                               (CWs, 1))
+            qb = jax.lax.slice(q, (CWs - 1, 0), (Rp, LANES), (CWs, 1))
+            fb = jax.lax.slice(f_row, (CWs - 1, 0), (Rp, LANES),
+                               (CWs, 1))
+            packed = jnp.where(
+                lane_nw == LANES - 1, hb,
+                jnp.where(lane_nw == LANES - 2,
+                          pltpu.roll(qb, shift=LANES - 1, axis=1),
+                          pltpu.roll(fb, shift=LANES - 2, axis=1)))
+            ckstage_ref[0] = packed
+            pltpu.make_async_copy(ckstage_ref.at[0], ckpt_ref.at[il],
+                                  wsem.at[2]).start()
+
         # sink score at column n_real-1
         scores_ref[0, i] = jnp.max(
             jnp.where(corner_mask, h_row, NEG32))
@@ -330,27 +377,63 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, hm1p_ref, hm1own_ref,
         pltpu.make_async_copy(stage_ref.at[0],
                               sbuf_ref.at[(chunk_base + last + 1) % W],
                               wsem.at[1]).wait()
+        if NW > 0:
+            pltpu.make_async_copy(ckstage_ref.at[0],
+                                  ckpt_ref.at[last],
+                                  wsem.at[2]).wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("N", "n", "W", "max_in", "params",
-                                    "ablate"))
-def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
-                    ring, N, n, W, max_in, params, ablate=""):
+                                    "NW", "ablate"))
+def _poa_chunk_call(preds, pmask, bases, fills, scal, a2d,
+                    ring, N, n, W, max_in, params, NW=0, ablate=""):
     """One node-chunk of a round's DP (the whole round when unchunked).
 
-    preds/pmask/hm1p: (max_in, N) i32; bases/hm1own: (1, N) i32;
-    scal: (1, 2) i32 = [n_real, chunk_base]; a2d: (Rp, 128) i32;
-    ring: (W, 2*Rp, LANES) i32 state ring (H rows [:Rp], E rows [Rp:]
-    per slot, so gathers and writes are one DMA each), ALIASED to the
-    ring output so state carries across chunk calls in place.  Scalar
-    tables stream per NB-node block through the (sequential) grid."""
+    preds/pmask: (max_in, N) i32; bases: (1, N) i32; fills: (4, N) i32
+    boundary seeds (see _poa_kernel); scal: (1, 3) i32 = [n_real,
+    chunk_base, col0]; a2d: (Rp, 128) i32 (the col0 window of the
+    read); ring: (W, 2*Rp, LANES) i32 state ring (H rows [:Rp], E rows
+    [Rp:] per slot, so gathers and writes are one DMA each), ALIASED to
+    the ring output so state carries across chunk calls in place.
+    Scalar tables stream per NB-node block through the (sequential)
+    grid.  ``NW`` > 0 additionally emits the (N, NW, 128) boundary
+    checkpoint plane (forward pass of a windowed-remat round).
+    Returns (words, scores, ring, ckpt-or-None)."""
+    assert not (NW and ablate not in ("", "noword")), \
+        "ckpt emission only composes with the noword fast path"
     Rp = n // LANES
     NB = _node_block(N)
     kernel = functools.partial(_poa_kernel, NB=NB, Rp=Rp, W=W,
-                               max_in=max_in, params=params,
+                               max_in=max_in, params=params, NW=NW,
                                ablate=ablate)
-    words, scores, ring = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((N // 2, Rp, LANES),
+                             jnp.int32),  # words (2 nodes/int32)
+        jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
+        jax.ShapeDtypeStruct((W, 2 * Rp, LANES), jnp.int32),  # ring
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, NB), lambda b: (0, b),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((max_in, 2 * Rp, LANES), jnp.int32),  # gathered H+E
+        pltpu.VMEM((1, 2 * Rp, LANES), jnp.int32),       # state staging
+        pltpu.VMEM((1, Rp, LANES), jnp.int32),           # word staging
+    ]
+    if NW:
+        out_shape.append(
+            jax.ShapeDtypeStruct((N, NW, LANES), jnp.int32))  # ckpt
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((1, NW, LANES), jnp.int32))
+    scratch += [
+        pltpu.SemaphoreType.DMA((max_in,)),              # gather sems
+        pltpu.SemaphoreType.DMA((3,)),                   # write sems
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=(N // NB,),
         interpret=jax.default_backend() != "tpu",
@@ -361,29 +444,17 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
                          memory_space=pltpu.SMEM),    # pmask
             pl.BlockSpec((1, NB), lambda b: (0, b),
                          memory_space=pltpu.SMEM),    # bases
-            pl.BlockSpec((max_in, NB), lambda b: (0, b),
-                         memory_space=pltpu.SMEM),    # per-pred H(p,-1)
-            pl.BlockSpec((1, NB), lambda b: (0, b),
-                         memory_space=pltpu.SMEM),    # own H(v,-1)
-            pl.BlockSpec((1, 2), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),    # [n_real, base]
+            pl.BlockSpec((4, NB), lambda b: (0, b),
+                         memory_space=pltpu.SMEM),    # boundary fills
+            pl.BlockSpec((1, 3), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),    # [n_real, base, col0]
             pl.BlockSpec((Rp, LANES), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),    # a chars
             pl.BlockSpec(memory_space=pl.ANY),        # state ring in
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((N // 2, Rp, LANES),
-                                 jnp.int32),  # words (2 nodes/int32)
-            jax.ShapeDtypeStruct((1, N), jnp.int32),          # sink scores
-            jax.ShapeDtypeStruct((W, 2 * Rp, LANES), jnp.int32),  # ring
-        ),
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, NB), lambda b: (0, b),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        input_output_aliases={7: 2},
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        input_output_aliases={6: 2},
         # the kernel's VMEM working set (gather buffer, staging, H/E/w
         # carries, row temporaries) scales with Rp and crosses the
         # compiler's default 16 MB scoped-vmem budget around Rp ~1300
@@ -392,28 +463,26 @@ def _poa_chunk_call(preds, pmask, bases, hm1p, hm1own, scal, a2d,
         # VMEM and this kernel schedules its own DMAs
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        scratch_shapes=[
-            pltpu.VMEM((max_in, 2 * Rp, LANES), jnp.int32),  # gathered H+E
-            pltpu.VMEM((1, 2 * Rp, LANES), jnp.int32),       # state staging
-            pltpu.VMEM((1, Rp, LANES), jnp.int32),           # word staging
-            pltpu.SemaphoreType.DMA((max_in,)),              # gather sems
-            pltpu.SemaphoreType.DMA((2,)),                   # write sems
-        ],
-    )(preds, pmask, bases, hm1p, hm1own, scal, a2d, ring)
-    return words, scores, ring
+        scratch_shapes=scratch,
+    )(preds, pmask, bases, fills, scal, a2d, ring)
+    if NW:
+        words, scores, ring, ckpt = outs
+        return words, scores, ring, ckpt
+    words, scores, ring = outs
+    return words, scores, ring, None
 
 
-def _poa_round_call(preds, pmask, bases, hm1p, hm1own, nreal, a2d,
+def _poa_round_call(preds, pmask, bases, fills, nreal, a2d,
                     N, n, W, max_in, params):
     """Single-call round (graph fits one words plane): zero rings in,
-    chunk_base 0."""
+    chunk_base 0, col0 0."""
     Rp = n // LANES
     zero = jnp.zeros((W, 2 * Rp, LANES), jnp.int32)
     scal = jnp.concatenate(
         [nreal.astype(jnp.int32),
-         jnp.zeros((1, 1), jnp.int32)], axis=1)
-    words, scores, _ = _poa_chunk_call(
-        preds, pmask, bases, hm1p, hm1own, scal, a2d, zero,
+         jnp.zeros((1, 2), jnp.int32)], axis=1)
+    words, scores, _, _ = _poa_chunk_call(
+        preds, pmask, bases, fills, scal, a2d, zero,
         N, n, W, max_in, params)
     return words, scores
 
@@ -696,24 +765,27 @@ def _poa_walk_bounded_kernel(scal_ref, preds_ref, words_ref,
                              out_ref, vals_ref, band_ref, sem,
                              *, m_w, Rp, WS, band_r, CAP, U=4):
     """Chunk-bounded banded walk: like :func:`_poa_walk_kernel` but the
-    walk stops at the chunk floor (row < base) and emits CONSUMED
-    COLUMN VALUES (aligned row, or -1 for insertions) into a log
-    instead of writing an (n,)-wide align buffer -- consumed j's are
-    contiguous descending, so the caller scatters ``vals[:count]`` at
-    ``j0 - t`` with one XLA op (an n-wide SMEM buffer would not fit at
-    the 200 kbp window top).  Exits early when the log fills (count
-    within U of CAP); the chunked driver simply re-enters."""
+    walk stops at the chunk floor (row < base), the column floor
+    (j < col0 -- the words plane may be a col0-based window of the
+    round's columns), and emits CONSUMED COLUMN VALUES (aligned row,
+    or -1 for insertions) into a log instead of writing an (n,)-wide
+    align buffer -- consumed j's are contiguous descending, so the
+    caller scatters ``vals[:count]`` at ``j0 - t`` with one XLA op (an
+    n-wide SMEM buffer would not fit at the 200 kbp window top).
+    Exits early when the log fills (count within U of CAP); the
+    chunked driver simply re-enters."""
     row0 = scal_ref[0, 0]
     j0 = scal_ref[0, 1]
     state0 = scal_ref[0, 2]
     base = scal_ref[0, 3]
+    col0 = scal_ref[0, 4]
 
     def refetch(row, j):
         lr = jnp.maximum(row - base, 0)
         bi = pl.multiple_of(
             jnp.clip((((lr >> 1) - (band_r - 9)) // 8) * 8, 0,
                      m_w - band_r), 8)
-        seg = jnp.maximum(j, 0) >> 7
+        seg = jnp.maximum(j - col0, 0) >> 7
         s0 = pl.multiple_of(
             jnp.clip(((seg >> 3) << 3) - (WS - 8), 0, Rp - WS), 8)
         cp = pltpu.make_async_copy(
@@ -725,39 +797,42 @@ def _poa_walk_bounded_kernel(scal_ref, preds_ref, words_ref,
 
     def cond(st):
         row, j, state, cnt, bi0, s0 = st
-        # row - base < 2*m_w keeps an out-of-chunk-ABOVE entry a no-op
-        # (the fused two-chunk walk chains kernels unconditionally;
-        # without it an above-chunk entry would spin on refetch misses
-        # forever: live stays false, cnt never advances)
+        # row - base < 2*m_w (and j - col0 < the plane's column count)
+        # keeps an out-of-chunk/right-of-window entry a no-op (the
+        # fused K-cell walk chains kernels unconditionally; without it
+        # such an entry would spin on refetch misses forever: live
+        # stays false, cnt never advances)
         return jnp.logical_and(
-            jnp.logical_and(j >= 0, row >= base),
+            jnp.logical_and(
+                jnp.logical_and(j >= col0, j - col0 < Rp * 128),
+                row >= base),
             jnp.logical_and(row - base < 2 * m_w, cnt < CAP - U))
 
     def body(st):
         row, j, state, cnt, bi0, s0 = st
-        live0 = jnp.logical_and(j >= 0, row >= base)
+        live0 = jnp.logical_and(j >= col0, row >= base)
         miss = jnp.logical_and(live0, jnp.logical_or(
             jnp.logical_or((jnp.maximum(row - base, 0) >> 1) < bi0,
                            (jnp.maximum(row - base, 0) >> 1)
                            >= bi0 + band_r),
-            jnp.logical_or((jnp.maximum(j - U, 0) >> 7) < s0,
-                           (j >> 7) >= s0 + WS)))
+            jnp.logical_or((jnp.maximum(j - U - col0, 0) >> 7) < s0,
+                           ((j - col0) >> 7) >= s0 + WS)))
         bi0, s0 = jax.lax.cond(miss, lambda _: refetch(row, j),
                                lambda _: (bi0, s0), None)
 
         for _ in range(U):
             lr = row - base
-            j0c = jnp.maximum(j, 0)
+            jl = jnp.maximum(j - col0, 0)
             li = (jnp.maximum(lr, 0) >> 1) - bi0
-            sg = (j0c >> 7) - s0
+            sg = (jl >> 7) - s0
             inband = jnp.logical_and(
                 jnp.logical_and(li >= 0, li < band_r),
                 jnp.logical_and(sg >= 0, sg < WS))
             live = jnp.logical_and(
-                jnp.logical_and(j >= 0, row >= base), inband)
+                jnp.logical_and(j >= col0, row >= base), inband)
             li = jnp.clip(li, 0, band_r - 1)
             sg = jnp.clip(sg, 0, WS - 1)
-            w = (band_ref[li, sg, j0c & 127]
+            w = (band_ref[li, sg, jl & 127]
                  >> (16 * (jnp.maximum(lr, 0) & 1))) & 0xFFFF
             flags = w & 0xF
             h_type = flags >> 2
@@ -804,9 +879,10 @@ def _poa_walk_bounded_kernel(scal_ref, preds_ref, words_ref,
 
 
 def _walk_bounded_banded_ops(words_c, preds_c, row, j, state, align,
-                             base, n, NC):
+                             base, n, NC, col0=0):
     """Banded counterpart of :func:`_walk_bounded_ops`: words_c is the
-    chunk's pair-packed (NC//2, Rp, LANES) int32 plane, preds_c the
+    chunk's pair-packed (NC//2, Rp, LANES) int32 plane (columns
+    [col0, col0 + Rp*128) of the round when windowed), preds_c the
     (max_in, NC) pred-table slice for rows [base, base+NC).  Returns
     the updated (row, j, state, align)."""
     m_w, Rp, L = words_c.shape
@@ -816,7 +892,8 @@ def _walk_bounded_banded_ops(words_c, preds_c, row, j, state, align,
     kernel = functools.partial(_poa_walk_bounded_kernel, m_w=m_w,
                                Rp=Rp, WS=WS, band_r=band_r, CAP=CAP)
     scal = jnp.stack([row, j, state,
-                      jnp.asarray(base, jnp.int32)]).reshape(1, 4)
+                      jnp.asarray(base, jnp.int32),
+                      jnp.asarray(col0, jnp.int32)]).reshape(1, 5)
     out, vals = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
@@ -856,27 +933,70 @@ def _walk_bounded_ok(NC, max_in, Rp):
 
 @functools.partial(jax.jit, static_argnames=("n", "NC"))
 def _walk_bounded_banded(words_c, preds_c, row, j, state, align, base,
-                         n, NC):
+                         n, NC, col0=0):
     return _walk_bounded_banded_ops(words_c, preds_c, row, j, state,
-                                    align, base, n, NC)
+                                    align, base, n, NC, col0)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "NC"))
 def _walk_bounded_bandedK(words_list, preds_list, row, j, state, align,
-                          base_hi, n, NC):
-    """Walk K ADJACENT chunks (descending) in one dispatch: the device
-    (row, j, state, align) scalars chain between the kernel calls with
-    no host round-trip, dividing the chunked backward's per-chunk sync
-    RTTs by K.  Every call runs unconditionally -- the bounded kernel's
-    ``row - base < 2*m_w`` cond clause makes a call a no-op when the
-    walk already finished (j < 0), CAP-exited in an earlier chunk, or
+                          base_hi, n, NC, col0=0):
+    """Walk K ADJACENT chunks (descending, same column window) in one
+    dispatch: the device (row, j, state, align) scalars chain between
+    the kernel calls with no host round-trip, dividing the chunked
+    backward's per-chunk sync RTTs by K.  Every call runs
+    unconditionally -- the bounded kernel's ``row - base < 2*m_w`` /
+    ``j >= col0`` cond clauses make a call a no-op when the walk
+    already finished (j < col0), CAP-exited in an earlier chunk, or
     jumped past this one entirely."""
     base = base_hi
     for words_c, preds_c in zip(words_list, preds_list):
         row, j, state, align = _walk_bounded_banded_ops(
-            words_c, preds_c, row, j, state, align, base, n, NC)
+            words_c, preds_c, row, j, state, align, base, n, NC, col0)
         base = base - NC
     return row, j, state, align
+
+
+def _ckpt_windows(n):
+    """Number of checkpoint column windows for a windowed-remat round
+    (0 = disabled): the window width n/NWIN must be a multiple of 1024
+    so CWs = width/128 is a multiple of 8 (band-walk geometry and DMA
+    sublane tiling)."""
+    if n % 1024:
+        return 0
+    k = n // 1024
+    for d in (8, 7, 6, 5, 4, 3, 2):
+        if k % d == 0:
+            return d
+    return 0
+
+
+@jax.jit
+def _win_fills(ck_c, hb_full, predsT_c, pmaskT_c, b, col0, e_, o_):
+    """Boundary fills for a windowed remat (window starting at column
+    ``col0``, checkpoint boundary ``b`` = window-1): diag H fill/argmax
+    from the PREDS' checkpointed H(p, col0-1) (virtual pred = the
+    analytic boundary row), F seed q_b and f_ext fill F(v, col0-1)
+    from the node's own checkpoint lanes 126/125."""
+    qf = ck_c[:, b, LANES - 2]
+    ff = ck_c[:, b, LANES - 3]
+    hbp = hb_full[jnp.maximum(predsT_c - 1, 0), b]   # (max_in, NC)
+    virt = predsT_c == 0
+    vals = jnp.where(pmaskT_c != 0,
+                     jnp.where(virt, o_ + col0 * e_, hbp),
+                     NEG32)
+    fillh = vals.max(axis=0)
+    fillarg = jnp.argmax(vals, axis=0).astype(jnp.int32)
+    return jnp.stack([fillh, fillarg, qf, ff])
+
+
+@functools.partial(jax.jit, static_argnames=("Rp", "CWs"))
+def _ring_window(snap, w, Rp, CWs):
+    """Column-window slice of a ring snapshot: H segments
+    [w*CWs, (w+1)*CWs) stacked over the E segments at [Rp + ...)."""
+    h = jax.lax.dynamic_slice_in_dim(snap, w * CWs, CWs, axis=1)
+    e = jax.lax.dynamic_slice_in_dim(snap, Rp + w * CWs, CWs, axis=1)
+    return jnp.concatenate([h, e], axis=1)
 
 
 def _walk_banded_ok(N, max_in, n, Rp):
@@ -987,15 +1107,26 @@ def _prepare(g, params):
             hm1[nxt + 1:N_real + 1] = (
                 hm1[nxt] + e_ * np.arange(1, N_real - nxt + 1))
     hm1 = hm1.astype(np.int32)
-    # per-pred boundary H(p,-1) and per-node own H(v,-1), (rows, N)
+    # boundary fill table (4, N): the kernel's left-boundary seeds per
+    # node -- [0] diag H fill = max over valid preds of H(p,-1), [1]
+    # its first-max argmax (h_pred fill), [2] F running-max seed
+    # H(v,-1)+e, [3] f_ext F(v,-1) fill (no F left of column 0).
+    # Window-mode remats replace these with checkpointed column
+    # boundaries (_round_chunked); the values here are the col-0 case.
     hm1p = np.where(pmask.T != 0, hm1[preds.T], np.int32(NEG32))
-    hm1own = hm1[1:N + 1].reshape(1, N)
+    hm1own = hm1[1:N + 1]
+    fills = np.stack([
+        hm1p.max(axis=0),
+        np.argmax(hm1p, axis=0).astype(np.int32),
+        (hm1own + np.int32(e_)).astype(np.int32),
+        np.full((N,), NEG32, np.int32),
+    ]).astype(np.int32)
     W = 2
     while W < maxdist + 1:
         W *= 2
     W = min(W, _next_pow2(N + 1))
     return (preds.T.copy(), pmask.T.copy(), bases.reshape(1, N),
-            hm1p.astype(np.int32), hm1own, N, max_in, W, order, preds)
+            fills, N, max_in, W, order, preds)
 
 
 def _next_pow2(v):
@@ -1102,7 +1233,10 @@ def _round_plan(N: int, n: int, W: int):
             "ring W=%d, ~%.2f MB plane vs %.2f MB budget); use "
             "engine='compat' (host-RAM planes) for reads this long"
             % (N, n, W, 2 * N * n / 2 ** 20, budget / 2 ** 20))
-    need = 4 * NC * n + (nchunks + 1) * 8 * W * n
+    # + the windowed-remat boundary-checkpoint plane (NWIN windows x
+    # 128 lanes x 4 B per node; emitted by the forward when enabled)
+    need = (4 * NC * n + (nchunks + 1) * 8 * W * n
+            + _ckpt_windows(n) * LANES * 4 * nchunks * NC)
     if need > int(0.8 * budget):
         raise ValueError(
             "native MSA round cannot fit the chip even chunked "
@@ -1119,7 +1253,7 @@ def _prep_round(g, seq: bytes, params):
     p = (params.match, params.mismatch, params.gap_extend,
          params.gap_open)
     prep = _prepare(g, params)
-    N, W = prep[5], prep[7]
+    N, W = prep[4], prep[6]
     n_real = len(seq)
     n = bucket(n_real)   # bucket() returns LANES multiples already
     if n > 16384:
@@ -1138,7 +1272,7 @@ def _dispatch_round(g, seq: bytes, params):
     (words, scores, order, preds, n, n_real).  Rounds whose words plane
     exceeds the HBM plan must go through round_dp_fused (chunked)."""
     p, prep, n, n_real, NC, a2d = _prep_round(g, seq, params)
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+    (predsT, pmaskT, bases, fills, N, max_in, W,
      order, preds) = prep
     if NC is not None:
         raise ValueError(
@@ -1147,7 +1281,7 @@ def _dispatch_round(g, seq: bytes, params):
             % (N, n))
     words, scores = _poa_round_call(
         jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
-        jnp.asarray(hm1p), jnp.asarray(hm1own),
+        jnp.asarray(fills),
         jnp.asarray([[n_real]], dtype=np.int32),
         a2d, N, n, W, max_in, p)
     return words, scores, order, preds, n, n_real
@@ -1167,7 +1301,10 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     Returns (scores_2d, align, best_row, order) -- the round_dp_fused
     contract (numpy-backed; the chunk loop already synced).
     """
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+    import os
+    import time as _time
+    prof = os.environ.get("TSTA_POA_PROFILE", "") not in ("", "0")
+    (predsT, pmaskT, bases, fills, N, max_in, W,
      order, preds) = prep
     nchunks = -(-N // NC)
     Np = nchunks * NC
@@ -1179,28 +1316,59 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
             [pmaskT, np.zeros((max_in, pad), pmaskT.dtype)], axis=1)
         bases = np.concatenate(
             [bases, np.zeros((1, pad), bases.dtype)], axis=1)
-        hm1p = np.concatenate(
-            [hm1p, np.full((max_in, pad), NEG32, hm1p.dtype)], axis=1)
-        hm1own = np.concatenate(
-            [hm1own, np.full((1, pad), NEG32, hm1own.dtype)], axis=1)
+        fills = np.concatenate(
+            [fills, np.full((4, pad), NEG32, fills.dtype)], axis=1)
     Rp = n // LANES
+    Rp_w = Rp
+    banded_w = _walk_bounded_ok(NC, max_in, Rp_w)
+    # windowed remat: the forward emits per-node column-boundary
+    # checkpoints (NWIN windows) so the backward can rematerialise just
+    # the ~1/NWIN column window the walk is in, instead of the whole
+    # O(NC x n) chunk plane (the remat was ~half the round's device
+    # time at the 200 kbp window top)
+    NWIN = 0
+    if (banded_w and nchunks > 1
+            and os.environ.get("TSTA_WINDOWED_REMAT", "1")
+            not in ("", "0")):
+        NWIN = _ckpt_windows(n)
+        if NWIN > 1:
+            CWs = Rp // NWIN
+            if not _walk_bounded_ok(NC, max_in, CWs):
+                NWIN = 0
+        if NWIN <= 1:
+            NWIN = 0
+    CWs = Rp // NWIN if NWIN else 0
+    CW = CWs * LANES
     ring = jnp.zeros((W, 2 * Rp, LANES), jnp.int32)
     snaps = []          # ring state at each chunk's ENTRY
     score_parts = []
+    ckpts = []
     words_last = None
+    t_fwd0 = _time.perf_counter()
     for c in range(nchunks):
         snaps.append(ring)
         sl = slice(c * NC, (c + 1) * NC)
-        scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-        words_c, sc, ring = _poa_chunk_call(
+        scal = jnp.asarray([[n_real, c * NC, 0]], dtype=np.int32)
+        # windowed forward: emit checkpoints, skip the words plane (the
+        # backward remats every window it walks, so forward words are
+        # never read; dropping their flag math saves ~20% of the pass)
+        words_c, sc, ring, ck = _poa_chunk_call(
             jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
-            jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-            jnp.asarray(hm1own[:, sl]), scal, a2d, ring,
-            NC, n, W, max_in, p)
+            jnp.asarray(bases[:, sl]), jnp.asarray(fills[:, sl]),
+            scal, a2d, ring,
+            NC, n, W, max_in, p, NW=NWIN,
+            ablate="noword" if NWIN else "")
         score_parts.append(sc)
-        words_last = words_c if c == nchunks - 1 else None
+        ckpts.append(ck)
+        if not NWIN:
+            words_last = words_c if c == nchunks - 1 else None
     scores = np.concatenate([np.asarray(s) for s in score_parts],
                             axis=1)[:, :Np]
+    if prof:
+        print("[poa_chunked] forward %d chunks (NC=%d, n=%d, W=%d, "
+              "NWIN=%d): %.3f s" % (nchunks, NC, n, W, NWIN,
+                                    _time.perf_counter() - t_fwd0),
+              flush=True)
 
     # best sink (host; scores already synced above)
     sink_mask = np.full((Np,), False)
@@ -1218,22 +1386,102 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     # dispatches (at 200 kbp the round has ~50 chunks; the serial
     # version paid a full remat wait per chunk on the critical path).
     # A pred jump that skips a chunk just drops one speculative plane.
+    n_remat = [0]
+
     def remat(c):
+        n_remat[0] += 1
         sl = slice(c * NC, (c + 1) * NC)
-        scal = jnp.asarray([[n_real, c * NC]], dtype=np.int32)
-        words_c, _, _ = _poa_chunk_call(
+        scal = jnp.asarray([[n_real, c * NC, 0]], dtype=np.int32)
+        words_c, _, _, _ = _poa_chunk_call(
             jnp.asarray(predsT[:, sl]), jnp.asarray(pmaskT[:, sl]),
-            jnp.asarray(bases[:, sl]), jnp.asarray(hm1p[:, sl]),
-            jnp.asarray(hm1own[:, sl]), scal, a2d, snaps[c],
+            jnp.asarray(bases[:, sl]), jnp.asarray(fills[:, sl]),
+            scal, a2d, snaps[c],
             NC, n, W, max_in, p)
         return words_c
 
-    Rp_w = n // LANES
-    banded_w = _walk_bounded_ok(NC, max_in, Rp_w)
-    preds_dev = None if banded_w else jnp.asarray(preds)
     align = jnp.full((n,), -1, jnp.int32)
     row, j, state = best_row, n_real - 1, 0
-    pending: dict = {}
+    t_bwd0 = _time.perf_counter()
+    n_sync = 0
+
+    if NWIN:
+        # ---- windowed backward: remat only the (NC x CW) cell the
+        # walk is in, seeded from the forward's boundary checkpoints --
+        predsT_dev = jnp.asarray(predsT)
+        pmaskT_dev = jnp.asarray(pmaskT)
+        bases_dev = jnp.asarray(bases)
+        fills_dev = jnp.asarray(fills)
+        e_, o_ = p[2], p[3]
+        # (Np, NWIN) per-node boundary H (lane 127 of each slab):
+        # window-w fills gather preds' rows from it
+        hb_full = jnp.concatenate(
+            [ck[:, :, LANES - 1] for ck in ckpts], axis=0)
+
+        def remat_win(c, w):
+            n_remat[0] += 1
+            sl0, sl1 = c * NC, (c + 1) * NC
+            scal = jnp.asarray([[n_real, c * NC, w * CW]],
+                               dtype=np.int32)
+            if w > 0:
+                fills_cw = _win_fills(
+                    ckpts[c], hb_full, predsT_dev[:, sl0:sl1],
+                    pmaskT_dev[:, sl0:sl1], jnp.int32(w - 1),
+                    jnp.int32(w * CW), jnp.int32(e_), jnp.int32(o_))
+            else:
+                fills_cw = fills_dev[:, sl0:sl1]
+            ring_w = _ring_window(snaps[c], jnp.int32(w), Rp, CWs)
+            a2d_w = jax.lax.dynamic_slice_in_dim(a2d, w * CWs, CWs, 0)
+            words_c, _, _, _ = _poa_chunk_call(
+                predsT_dev[:, sl0:sl1], pmaskT_dev[:, sl0:sl1],
+                bases_dev[:, sl0:sl1], fills_cw, scal, a2d_w, ring_w,
+                NC, CW, W, max_in, p)
+            return words_c
+
+        # K (chunk, window) cells fuse into one dispatch along the
+        # dominant chunk-descending direction; window planes are NWIN x
+        # smaller than chunk planes, so K can run deeper
+        K = max(1, min(8, int(_hbm_budget() // 2 // (2 * NC * CW)) - 1))
+        pending: dict = {}
+        while row >= 0 and j >= 0:
+            n_sync += 1
+            c = row // NC
+            w = min(j // CW, NWIN - 1)
+            lo = max(c - K + 1, 0)
+            cells = [(cc, w) for cc in range(c, lo - 1, -1)]
+            words = [pending.pop(cell, None) for cell in cells]
+            pending.clear()   # drop stale speculative planes
+            words = [wd if wd is not None else remat_win(cc, ww)
+                     for wd, (cc, ww) in zip(words, cells)]
+            preds_l = [predsT_dev[:, cc * NC:(cc + 1) * NC]
+                       for cc, _ in cells]
+            if len(cells) > 1:
+                pend_walk = _walk_bounded_bandedK(
+                    words, preds_l, jnp.int32(row), jnp.int32(j),
+                    jnp.int32(state), align, jnp.int32(c * NC), n, NC,
+                    jnp.int32(w * CW))
+            else:
+                pend_walk = _walk_bounded_banded(
+                    words[0], preds_l[0], jnp.int32(row), jnp.int32(j),
+                    jnp.int32(state), align, jnp.int32(c * NC), n, NC,
+                    jnp.int32(w * CW))
+            # speculative next cell: the chunk below the fused chain
+            # (same window), or -- when the chain bottoms out -- the
+            # same chunk range one window left
+            if lo > 0:
+                pending[(lo - 1, w)] = remat_win(lo - 1, w)
+            elif w > 0:
+                pending[(0, w - 1)] = remat_win(0, w - 1)
+            row_d, j_d, state_d, align = pend_walk
+            row, j, state = int(row_d), int(j_d), int(state_d)
+        if prof:
+            print("[poa_chunked] windowed backward NWIN=%d K=%d: "
+                  "%.3f s (%d syncs, %d remats)"
+                  % (NWIN, K, _time.perf_counter() - t_bwd0, n_sync,
+                     n_remat[0]), flush=True)
+        return scores, np.asarray(align), best_row, order
+
+    preds_dev = None if banded_w else jnp.asarray(preds)
+    pending = {}
     if words_last is not None:
         pending[nchunks - 1] = words_last
     # fused K-chunk banded windows keep K+1 planes alive (K window
@@ -1244,6 +1492,7 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
     if banded_w:
         K = max(1, min(4, int(_hbm_budget() // 2 // (2 * NC * n)) - 1))
     while row >= 0 and j >= 0:
+        n_sync += 1
         c = row // NC
         lo = max(c - K + 1, 0)
         chunks = list(range(c, lo - 1, -1))
@@ -1286,6 +1535,10 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
                 jnp.int32(state), align, jnp.int32(c * NC), n)
         row_d, j_d, state_d, align = pend_walk
         row, j, state = int(row_d), int(j_d), int(state_d)
+    if prof:
+        print("[poa_chunked] backward K=%d: %.3f s (%d syncs, %d "
+              "remats)" % (K, _time.perf_counter() - t_bwd0, n_sync,
+                           n_remat[0]), flush=True)
     return scores, np.asarray(align), best_row, order
 
 
@@ -1301,7 +1554,7 @@ def round_dp_fused(g, seq: bytes, params):
     ``np.asarray``/``int()`` reads are the round's only blocking point.
     """
     p, prep, n, n_real, NC, a2d = _prep_round(g, seq, params)
-    (predsT, pmaskT, bases, hm1p, hm1own, N, max_in, W,
+    (predsT, pmaskT, bases, fills, N, max_in, W,
      order, preds) = prep
     if NC is not None:
         # length-ceiling mode: chunk + rematerialise (syncs internally;
@@ -1310,7 +1563,7 @@ def round_dp_fused(g, seq: bytes, params):
                               a2d)
     words, scores = _poa_round_call(
         jnp.asarray(predsT), jnp.asarray(pmaskT), jnp.asarray(bases),
-        jnp.asarray(hm1p), jnp.asarray(hm1own),
+        jnp.asarray(fills),
         jnp.asarray([[n_real]], dtype=np.int32),
         a2d, N, n, W, max_in, p)
     sink_mask = np.zeros((scores.shape[1],), np.int32)
