@@ -366,6 +366,105 @@ def stage_msa_200k():
             "msa_200k_vs_ref_456.6s": round(456.6 / dt, 1)}
 
 
+def stage_chunk_smoke():
+    """Hardware lowering smoke for every chunked-MSA backward branch at
+    ONE small shape (N=2048 nodes x n=2048 cols -> nchunks=4, NWIN=2,
+    fused K=4).  The r4 msa_200k regression (Mosaic rejecting the
+    checkpoint pass's strided vector extract) shipped because only the
+    ~200 kbp shape engaged nchunks>1 with NWIN>0 -- no small stage, no
+    CPU test, could see it (r4 VERDICT item 1/2).  Each env-knob branch
+    must produce output identical to the single-call kernel:
+
+      windowed : NWIN=2, banded walk, fused K>1   (the msa_200k path)
+      fullw    : TSTA_WINDOWED_REMAT=0, banded fused-K walk
+      xla_walk : TSTA_BANDED_MSA_WALK=0 (the _walk_bounded2 fallback)
+      k1       : budget forces K=1 (single-chunk banded dispatches)
+      walkdb0  : packed traced PSA chunked with TSTA_WALK_DB=0 (the
+                 traced stage covers the =1 default)
+    """
+    import numpy as np
+
+    from tsta_tpu.config import AlignParams
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native, msa_pallas
+
+    rng = np.random.default_rng(41)
+    params = AlignParams()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(bases, 2000).tobytes()
+    s = np.frombuffer(base, np.uint8).copy()
+    m = rng.random(len(s)) < 0.08
+    s[m] = bases[rng.integers(0, 4, int(m.sum()))]
+    seq2 = np.delete(s, rng.integers(0, len(s), len(s) // 50)).tobytes()
+    seqs = [base, seq2]
+    assert msa_pallas._ckpt_windows(2048) == 2
+
+    def run_round():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        scores, align, best_row, order = msa_pallas.round_dp_fused(
+            g, seqs[1], params)
+        best_row = int(best_row)
+        sc = int(np.asarray(scores)[0, best_row])
+        al = np.asarray(align)[:len(seqs[1])].tolist()
+        msa_native._merge(g, seqs[1], 1, order,
+                          np.asarray(align)[:len(seqs[1])])
+        g.toposort()
+        return sc, al, g.msa_rows(), g.consensus()
+
+    ref = run_round()
+    out = {"chunk_smoke_score": ref[0]}
+    # K per branch from the _round_chunked budget formulae at NC=512:
+    # windowed K = b/2 // (2*NC*CW=1MB) - 1; full-width K = b/2 //
+    # (2*NC*n=2MB) - 1 (capped 4); 0.01 GB -> windowed K=4 / full K=1,
+    # 0.013 GB -> full K=2 (still chunks: plane 8.4 MB > 0.5*13.9 MB)
+    branches = [
+        ("windowed", {"TSTA_HBM_BUDGET_GB": "0.01"}),          # NWIN=2 K=4
+        ("fullw", {"TSTA_HBM_BUDGET_GB": "0.013",
+                   "TSTA_WINDOWED_REMAT": "0"}),               # K=2 fused
+        ("k1", {"TSTA_HBM_BUDGET_GB": "0.01",
+                "TSTA_WINDOWED_REMAT": "0"}),                  # K=1 banded
+        ("xla_walk", {"TSTA_HBM_BUDGET_GB": "0.01",
+                      "TSTA_BANDED_MSA_WALK": "0"}),   # _walk_bounded2
+    ]
+    saved = {k: os.environ.get(k) for _, env in branches for k in env}
+    ok = []
+    try:
+        for name, env in branches:
+            for k in saved:
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            got = run_round()
+            out["chunk_smoke_%s" % name] = "ok" if got == ref else \
+                "MISMATCH (score %d vs %d)" % (got[0], ref[0])
+            ok.append(got == ref)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    # packed PSA chunked walk with band double-buffering OFF
+    from tsta_tpu.ops import psa_pallas
+    p = (2, -5, -2, -4)
+    rng = np.random.default_rng(3)
+    ac = rng.integers(65, 69, 3072).astype(np.uint8)
+    bc = ac.copy()
+    mm = rng.random(3072) < 0.05
+    bc[mm] = rng.integers(65, 69, int(mm.sum())).astype(np.uint8)
+    bc = np.delete(bc, rng.integers(0, 3072, 3072 // 50))
+    r1 = psa_pallas.psa_align_traced_chunked(ac, bc, p, mc=512)
+    os.environ["TSTA_WALK_DB"] = "0"
+    try:
+        r0 = psa_pallas.psa_align_traced_chunked(ac, bc, p, mc=512)
+    finally:
+        os.environ.pop("TSTA_WALK_DB", None)
+    out["chunk_smoke_walkdb0"] = "ok" if r0 == r1 else "MISMATCH"
+    ok.append(r0 == r1)
+    out["chunk_smoke_all_ok"] = all(ok)
+    return out
+
+
 def stage_msa_compat():
     from tsta_tpu.config import AlignParams
     from tsta_tpu.models import msa as msa_model
@@ -390,6 +489,7 @@ STAGES = {
     "msa_fleet": stage_msa_fleet,
     "int16_probe": stage_int16_probe,
     "msa_200k": stage_msa_200k,
+    "chunk_smoke": stage_chunk_smoke,
 }
 
 
@@ -450,9 +550,11 @@ PLAN = [
     ("traced_batch", [60, 90, 180], 30),
     ("msa_50k", [90, 180, 300], 45),
     ("batch128", [60, 120, 240], 30),
-    ("msa_fleet", [90, 180], 40),
+    # capability stages BEFORE the probes (r4 VERDICT item 7: the int16
+    # probe's stalls starved msa_200k's retry budget in r4)
+    ("msa_200k", [150, 300, 300], 60),
+    ("chunk_smoke", [120, 240], 45),
     ("int16_probe", [60, 300], 30),
-    ("msa_200k", [150, 300], 60),
 ]
 
 

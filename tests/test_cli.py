@@ -128,6 +128,34 @@ def test_msa_batch_cli(tmp_path):
         assert b"consensus" in data
 
 
+def test_msa_batch_single_input(tmp_path):
+    """msa-batch with ONE input routes through the pipelined scheduler
+    and matches `tsta msa --engine native` byte-for-byte (README's
+    'use msa-batch unconditionally' guidance; r4 VERDICT item 6)."""
+    import numpy as np
+
+    from tsta_tpu.cli import main
+
+    rng = np.random.default_rng(8)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 120).tobytes()
+    fa = tmp_path / "only.fa"
+    with open(fa, "wb") as f:
+        for k in range(3):
+            s = bytearray(base)
+            for j in rng.integers(0, len(s), 8):
+                s[j] = b"ACGT"[rng.integers(0, 4)]
+            f.write(b">r%d\n" % k + bytes(s) + b"\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(fa) + "\n")
+    out_dir = tmp_path / "outs"
+    assert main(["msa-batch", "--inputs", str(lst),
+                 "--out-dir", str(out_dir)]) == 0
+    single = tmp_path / "single.txt"
+    assert main(["msa", "-i", str(fa), "--engine", "native",
+                 "-o", str(single)]) == 0
+    assert (out_dir / "only.txt").read_bytes() == single.read_bytes()
+
+
 def test_msa_batch_multiprocess_striding(tmp_path, monkeypatch):
     """TSTA_NUM_PROCESSES/TSTA_PROCESS_ID stride the input list; output
     names are globally unique across sibling processes."""

@@ -343,11 +343,22 @@ def _poa_kernel(preds_ref, pmask_ref, bases_ref, fills_ref,
             # 127/126/125 of boundary w-1 as its fills.
             q = jnp.maximum(pc, y)
             CWs = Rp // NW
-            hb = jax.lax.slice(h_row, (CWs - 1, 0), (Rp, LANES),
-                               (CWs, 1))
-            qb = jax.lax.slice(q, (CWs - 1, 0), (Rp, LANES), (CWs, 1))
-            fb = jax.lax.slice(f_row, (CWs - 1, 0), (Rp, LANES),
-                               (CWs, 1))
+
+            def boundary_rows(x):
+                # one unit slice per window boundary, NOT a single
+                # strided slice: Mosaic's vector.extract_strided_slice
+                # only lowers stride 1, so lax.slice(..., (CWs, 1))
+                # fails hardware verification (offsets [CWs-1, 0]) --
+                # the exact msa_200k r4 regression.  NW <= 8 static
+                # unit slices lower fine and the concat is sublane-only.
+                rows = [jax.lax.slice(x, ((w + 1) * CWs - 1, 0),
+                                      ((w + 1) * CWs, LANES))
+                        for w in range(NW)]
+                return jnp.concatenate(rows, axis=0)
+
+            hb = boundary_rows(h_row)
+            qb = boundary_rows(q)
+            fb = boundary_rows(f_row)
             packed = jnp.where(
                 lane_nw == LANES - 1, hb,
                 jnp.where(lane_nw == LANES - 2,
