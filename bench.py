@@ -550,6 +550,7 @@ PLAN = [
     ("traced_batch", [60, 90, 180], 30),
     ("msa_50k", [90, 180, 300], 45),
     ("batch128", [60, 120, 240], 30),
+    ("msa_fleet", [90, 180], 40),
     # capability stages BEFORE the probes (r4 VERDICT item 7: the int16
     # probe's stalls starved msa_200k's retry budget in r4)
     ("msa_200k", [150, 300, 300], 60),
