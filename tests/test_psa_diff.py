@@ -281,6 +281,56 @@ def test_spec_walk_matches_nonspec(monkeypatch):
         assert (s, c, aln) == (es, ec, ealn)
 
 
+def test_pair2_walk_matches_default():
+    """The two-pair-interleaved banded walk kernel (kept as an
+    explicitly-reachable probe -- it measured SLOWER on v5e hardware,
+    see ROADMAP negative probes, so production never routes to it)
+    stays exact: identical decoded moves to the default walk on a P=4
+    group with unequal pair lengths (one pair drains while its partner
+    is masked)."""
+    import jax.numpy as jnp
+
+    from tsta_tpu.ops import traceback as tb
+
+    rng = np.random.default_rng(91)
+    pairs = []
+    for ln in (512, 512, 480, 200):   # P=4 group, uneven walks
+        a = _rnd(rng, ln)
+        b = a.copy()
+        idx = rng.integers(0, ln, ln // 20)
+        b[idx] = _rnd(rng, len(idx))
+        b = np.delete(b, rng.integers(0, ln, ln // 30))
+        pairs.append((a, b))
+    P = len(pairs)
+    n_real = [len(a) for a, _ in pairs]
+    m_real = [len(b) for _, b in pairs]
+    n_pad = max(psa_diff._traced_n_pad(n) for n in n_real)
+    m_pad = -(-max(m_real) // psa_diff.T_R) * psa_diff.T_R
+    Rp = n_pad // psa_diff.LANES
+    a8 = np.full((P * Rp, psa_diff.LANES), psa_diff.A_PAD, np.uint8)
+    brows8 = np.full((m_pad, P), psa_diff.B_PAD, np.uint8)
+    nm = np.zeros((P, 2), np.int32)
+    for k, (a, b) in enumerate(pairs):
+        arow = np.full(n_pad, psa_diff.A_PAD, np.uint8)
+        arow[:n_real[k]] = a
+        a8[k * Rp:(k + 1) * Rp] = arow.reshape(Rp, psa_diff.LANES)
+        brows8[:m_real[k], k] = b
+        nm[k] = (n_real[k], m_real[k])
+    nm_d = jnp.asarray(nm)
+    _, _, plane = psa_diff._psa_diff_traced_call(
+        jnp.asarray(a8).astype(jnp.int32),
+        jnp.asarray(brows8).astype(jnp.int32), nm_d,
+        n_pad, m_pad, P, P0)
+    wr, cr = tb._decode_moves_banded_packed(plane, nm_d, Rp, True)
+    wp, cp = tb._decode_moves_banded_packed(plane, nm_d, Rp, True,
+                                            pair2=True)
+    wr, cr, wp, cp = map(np.asarray, (wr, cr, wp, cp))
+    assert (cr == cp).all()
+    for k in range(P):   # decoded payloads, not raw tail garbage
+        assert (tb.unpack_moves(wr[k], cr[k])
+                == tb.unpack_moves(wp[k], cp[k])).all()
+
+
 def test_traced_packed_tiny_pairs():
     """Degenerate lengths through the packed traced path: length-1
     sides, single-base matches, and a pair just under the spec-walk's

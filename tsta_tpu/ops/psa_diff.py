@@ -835,7 +835,7 @@ def _psa_diff_traced_call(a32, brows, nm, n_pad, m_pad, P, params):
 
 
 def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
-                      spec, db=True):
+                      spec, db=True, pair2=False):
     """One group's fused packed DP -> P-pair device walk -> one packed
     (P, 3 + ...) int32 result: [score, corner, count, moves-16-per-word].
     Plain jax ops (no jit) so the same graph serves both the single-
@@ -849,7 +849,8 @@ def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
     if banded:
         words, counts = tb._decode_moves_banded_packed(plane, nm,
                                                        n_pad // LANES,
-                                                       spec, db=db)
+                                                       spec, db=db,
+                                                       pair2=pair2)
     else:
         moves, counts = tb._decode_moves_packed(plane, nm, n_pad // LANES)
         words = tb.pack_moves_words(moves)
@@ -862,10 +863,10 @@ def _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params, banded,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "m_pad", "P", "params",
-                                    "banded", "spec", "db"))
+                                    "banded", "spec", "db", "pair2"))
 def _traced_packed_chain(a8, brows8, nm,
                          n_pad, m_pad, P, params, banded=False,
-                         spec=True, db=True):
+                         spec=True, db=True, pair2=False):
     """Fused packed DP -> P-pair device walk -> two packed transfers:
     header (3, P) int32 [scores; corners; counts] and the move lists
     (P, m_pad + n_pad) int8.  ``banded``: walk in a grid-(P,) Pallas
@@ -875,7 +876,7 @@ def _traced_packed_chain(a8, brows8, nm,
     walk remains the fallback for shapes outside the band alignment
     gate.  (Reference walks host planes sequentially, psa.c:434-519.)"""
     return _traced_chain_ops(a8, brows8, nm, n_pad, m_pad, P, params,
-                             banded, spec, db)
+                             banded, spec, db, pair2)
 
 
 @functools.lru_cache(maxsize=32)

@@ -720,6 +720,106 @@ def _walk_kernel_packed_db(nm_ref, plane_ref, moves_ref, count_ref,
     count_ref[pid, 0] = t
 
 
+def _walk_kernel_packed_pair2(nm_ref, plane_ref, moves_ref, count_ref,
+                              band_ref, sems, *, m_w, Rp, S, WS,
+                              band_r, U=8):
+    """Two-pair-interleaved variant of :func:`_walk_kernel_packed`:
+    grid (P//2,), program q walks pairs 2q and 2q+1 in ONE while loop
+    with both pairs' U-substep decode chains in the same straight-line
+    body.  The single-pair walk is bound by each step's serial 3-read
+    decode chain (~137 ns/step at U=8, r4 accounting) on the in-order
+    scalar core; a second INDEPENDENT chain in the same basic block
+    gives the static scheduler work to fill those load-use stalls, so
+    two pairs advance per ~1 chain latency.  Band misses overlap too:
+    both pairs' refetch DMAs start before either is waited.  Each pair
+    keeps its own (band_r, WS, LANES) SMEM window (``band_ref`` is
+    (2, band_r, WS, LANES)); exactness never depends on pairing -- a
+    finished pair's substeps are masked no-ops while its partner
+    drains."""
+    assert 16 % U == 0
+    q = pl.program_id(0)
+    pid0 = 2 * q
+    pids = (pid0, pid0 + 1)
+    seg0s = (pid0 * Rp, (pid0 + 1) * Rp)
+
+    def copy(x, bi, s0):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(bi, band_r), pl.ds(s0, WS), :],
+            band_ref.at[x], sems.at[x])
+
+    def cond(st):
+        iA, jA, iB, jB = st[0], st[1], st[7], st[8]
+        return jnp.logical_or(
+            jnp.logical_or(iA >= 0, jA >= 0),
+            jnp.logical_or(iB >= 0, jB >= 0))
+
+    def body(st):
+        (iA, jA, tA, fA, wA, biA, s0A,
+         iB, jB, tB, fB, wB, biB, s0B) = st
+        pairs = ((iA, jA, biA, s0A), (iB, jB, biB, s0B))
+        misses, places = [], []
+        for x, (i, j, bi0, s0) in enumerate(pairs):
+            in_core = jnp.logical_and(i >= 0, j >= 0)
+            miss = jnp.logical_and(
+                in_core,
+                jnp.logical_not(_window_covers(i, j, bi0, s0, seg0s[x],
+                                               band_r, WS, U)))
+
+            def fetch(_, x=x, i=i, j=j):
+                bi, s0 = _window_place(i, j, seg0s[x], m_w, S,
+                                       band_r, WS)
+                copy(x, bi, s0).start()
+                return bi, s0
+
+            nbi, ns0 = jax.lax.cond(miss, fetch,
+                                    lambda _, bi0=bi0, s0=s0: (bi0, s0),
+                                    None)
+            misses.append(miss)
+            places.append((nbi, ns0))
+        # wait AFTER both starts so the two DMAs overlap
+        for x in range(2):
+            @pl.when(misses[x])
+            def _(x=x):
+                copy(x, places[x][0], places[x][1]).wait()
+        (biA, s0A), (biB, s0B) = places
+
+        tA0, tB0 = tA, tB
+        iA, jA, tA, fA, wA = _band_substeps(
+            lambda li, sg, lane: band_ref[0, li, sg, lane],
+            iA, jA, tA, fA, wA, biA, s0A, seg0s[0], band_r, WS, U)
+        iB, jB, tB, fB, wB = _band_substeps(
+            lambda li, sg, lane: band_ref[1, li, sg, lane],
+            iB, jB, tB, fB, wB, biB, s0B, seg0s[1], band_r, WS, U)
+
+        fullA = jnp.logical_and(tA != tA0, (tA & 15) == 0)
+        fullB = jnp.logical_and(tB != tB0, (tB & 15) == 0)
+
+        @pl.when(fullA)
+        def _():
+            moves_ref[pids[0], (tA - 1) >> 4] = wA
+
+        @pl.when(fullB)
+        def _():
+            moves_ref[pids[1], (tB - 1) >> 4] = wB
+
+        wA = jnp.where(fullA, 0, wA)
+        wB = jnp.where(fullB, 0, wB)
+        return (iA, jA, tA, fA, wA, biA, s0A,
+                iB, jB, tB, fB, wB, biB, s0B)
+
+    far = jnp.asarray(2 ** 30, jnp.int32)   # forces the first fetch
+    st = (nm_ref[pids[0], 1] - 1, nm_ref[pids[0], 0] - 1,
+          jnp.int32(0), jnp.int32(0), jnp.int32(0), far, far,
+          nm_ref[pids[1], 1] - 1, nm_ref[pids[1], 0] - 1,
+          jnp.int32(0), jnp.int32(0), jnp.int32(0), far, far)
+    out = jax.lax.while_loop(cond, body, st)
+    (iA, jA, tA, _, wA, _, _, iB, jB, tB, _, wB, _, _) = out
+    moves_ref[pids[0], tA >> 4] = wA
+    moves_ref[pids[1], tB >> 4] = wB
+    count_ref[pids[0], 0] = tA
+    count_ref[pids[1], 0] = tB
+
+
 def _walk_kernel_bounded(scal_ref, prevw_ref, plane_ref, out_ref,
                          vals_ref, band_ref, sem,
                          *, m_w, Rp, WS, band_r, CAP, U=8):
@@ -941,8 +1041,10 @@ _BAND_WS = 16   # packed-walk band segments (x128 cells each; multiple
                 # >= (WS-8)*128 cells walkable left per fetch)
 
 
-@functools.partial(jax.jit, static_argnames=("Rp", "spec", "U", "db"))
-def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8, db=True):
+@functools.partial(jax.jit, static_argnames=("Rp", "spec", "U", "db",
+                                              "pair2"))
+def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8, db=True,
+                                pair2=False):
     """Pallas banded walk over the grouped row-word plane
     (m_pad // 4, S, LANES) int32 from psa_diff._psa_diff_traced_call.
     Returns (words, counts): words (P, packed_words_len(m_pad + n_pad))
@@ -968,13 +1070,20 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8, db=True):
                          "(got m_pad=%d S=%d)" % (m_pad, S))
     WS = min(_BAND_WS, S)
     db = db and m_w > band_r   # single-window planes never refetch
-    kern_fn = _walk_kernel_packed_db if db else _walk_kernel_packed
+    pair2 = pair2 and P % 2 == 0 and P >= 2 and spec
+    if pair2:
+        kern_fn, grid = _walk_kernel_packed_pair2, (P // 2,)
+        two_bands = True   # one (band_r, WS, L) window PER PAIR
+    else:
+        kern_fn = _walk_kernel_packed_db if db else _walk_kernel_packed
+        grid = (P,)
+        two_bands = db     # double buffering
     kernel = functools.partial(kern_fn, m_w=m_w, Rp=Rp,
                                S=S, WS=WS, band_r=band_r,
                                U=U if spec else 1)
     words, counts = pl.pallas_call(
         kernel,
-        grid=(P,),
+        grid=grid,
         interpret=jax.default_backend() != "tpu",
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)
@@ -992,9 +1101,9 @@ def _decode_moves_banded_packed(plane, nm, Rp, spec=True, U=8, db=True):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM(((2, band_r, WS, L) if db else (band_r, WS, L)),
-                       jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)) if db
+            pltpu.SMEM(((2, band_r, WS, L) if two_bands
+                        else (band_r, WS, L)), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)) if two_bands
             else pltpu.SemaphoreType.DMA,
         ],
     )(nm, plane)
