@@ -455,3 +455,43 @@ def test_chunked_windowed_remat_matches_single(monkeypatch):
     full = run()
     assert not spied
     assert full == ref
+
+
+@pytest.mark.slow
+def test_chunked_windowed_remat_nwin4(monkeypatch):
+    """NWIN=4 window geometry (n=4096): a different CWs/boundary-fill
+    shape class than the fast NWIN=2 test and the hardware NWIN=8
+    bench stage; must match the single-call round bit-for-bit."""
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(43)
+    params = AlignParams()
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4050).tobytes()
+    seqs = [base, _mutate(rng, base, 0.08)]
+    assert msa_pallas.bucket(len(seqs[1])) == 4096
+    assert msa_pallas._ckpt_windows(4096) == 4
+
+    def run():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        scores, align, best_row, order = msa_pallas.round_dp_fused(
+            g, seqs[1], params)
+        best_row = int(best_row)
+        sc = int(np.asarray(scores)[0, best_row])
+        al = list(np.asarray(align)[:len(seqs[1])])
+        msa_native._merge(g, seqs[1], 1, order, np.asarray(align)[
+            :len(seqs[1])])
+        g.toposort()
+        return sc, al, g.msa_rows(), g.consensus()
+
+    ref = run()
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.03")
+    NC = msa_pallas._round_plan(4096, 4096, 16)
+    assert NC is not None and 4096 // NC >= 2, NC
+    spied = []
+    orig = msa_pallas._ring_window
+    monkeypatch.setattr(
+        msa_pallas, "_ring_window",
+        lambda *a, **k: (spied.append(1), orig(*a, **k))[1])
+    assert run() == ref
+    assert spied, "windowed remat did not engage"
