@@ -414,11 +414,12 @@ def stage_chunk_smoke():
     ref = run_round()
     out = {"chunk_smoke_score": ref[0]}
     # K per branch from the _round_chunked budget formulae at NC=512:
-    # windowed K = b/2 // (2*NC*CW=1MB) - 1; full-width K = b/2 //
-    # (2*NC*n=2MB) - 1 (capped 4); 0.01 GB -> windowed K=4 / full K=1,
-    # 0.013 GB -> full K=2 (still chunks: plane 8.4 MB > 0.5*13.9 MB)
+    # windowed K = min(geometric ceil(CW/NC)+1 = 3, b/2 // (2*NC*CW=
+    # 1MB) - 1); full-width K = b/2 // (2*NC*n=2MB) - 1 (capped 4);
+    # 0.01 GB -> windowed K=3 / full K=1, 0.013 GB -> full K=2 (still
+    # chunks: plane 8.4 MB > 0.5*13.9 MB)
     branches = [
-        ("windowed", {"TSTA_HBM_BUDGET_GB": "0.01"}),          # NWIN=2 K=4
+        ("windowed", {"TSTA_HBM_BUDGET_GB": "0.01"}),          # NWIN=2 K=3
         ("fullw", {"TSTA_HBM_BUDGET_GB": "0.013",
                    "TSTA_WINDOWED_REMAT": "0"}),               # K=2 fused
         ("k1", {"TSTA_HBM_BUDGET_GB": "0.01",

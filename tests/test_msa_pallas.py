@@ -457,6 +457,48 @@ def test_chunked_windowed_remat_matches_single(monkeypatch):
     assert full == ref
 
 
+def test_windowed_remat_vertical_heavy(monkeypatch):
+    """Indel-heavy reads make the backward walk exit BELOW the fused
+    chain instead of left into the previous window -- the speculation
+    branch the diagonal prediction does NOT cover (r5).  Output must
+    still match the single-call round exactly."""
+    from tsta_tpu.models.poa_graph import PoaGraph
+    from tsta_tpu.ops import msa_native
+
+    rng = np.random.default_rng(47)
+    params = AlignParams()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(bases, 4060).tobytes()
+    # read ~half the graph length (bucket 2048 -> NWIN=2): the walk
+    # consumes ~2 graph rows per read column, so window crossings span
+    # more chunks than the diagonal prediction assumes
+    s = np.frombuffer(base, np.uint8).copy()
+    keep = np.sort(rng.choice(len(s), 1990, replace=False))
+    s = s[keep]
+    m = rng.random(len(s)) < 0.15
+    s[m] = bases[rng.integers(0, 4, int(m.sum()))]
+    seqs = [base, s.tobytes()]
+    assert msa_pallas.bucket(len(seqs[1])) == 2048
+
+    def run():
+        g = PoaGraph.from_sequence(seqs[0], len(seqs))
+        scores, align, best_row, order = msa_pallas.round_dp_fused(
+            g, seqs[1], params)
+        best_row = int(best_row)
+        sc = int(np.asarray(scores)[0, best_row])
+        al = list(np.asarray(align)[:len(seqs[1])])
+        msa_native._merge(g, seqs[1], 1, order, np.asarray(align)[
+            :len(seqs[1])])
+        g.toposort()
+        return sc, al, g.msa_rows(), g.consensus()
+
+    ref = run()
+    monkeypatch.setenv("TSTA_HBM_BUDGET_GB", "0.014")
+    NC = msa_pallas._round_plan(4096, 2048, 16)
+    assert NC is not None and 4096 // NC >= 2, NC
+    assert run() == ref
+
+
 @pytest.mark.slow
 def test_chunked_windowed_remat_nwin4(monkeypatch):
     """NWIN=4 window geometry (n=4096): a different CWs/boundary-fill

@@ -1450,9 +1450,20 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
 
         # K (chunk, window) cells fuse into one dispatch along the
         # dominant chunk-descending direction; window planes are NWIN x
-        # smaller than chunk planes, so K can run deeper
-        K = max(1, min(8, int(_hbm_budget() // 2 // (2 * NC * CW)) - 1))
+        # smaller than chunk planes, so K can run deeper.  Cap K by
+        # GEOMETRY as well as memory (r5): a near-diagonal path crosses
+        # a CW-column window in ~CW rows = ceil(CW/NC) chunks, so any
+        # deeper chain remats planes the walk exits the window before
+        # reaching -- at the 200 kbp shape the budget allowed K=8 but
+        # the walk consumed ~3-4 per sync (65 remats/round profiled;
+        # geometric K=4 cuts ~0.5 s/round of pure remat waste).
+        # Vertical-heavy paths just take a second sync per window,
+        # which costs one RTT instead of 4 wasted window DPs.
+        K_geo = -(-CW // NC) + 1
+        K = max(1, min(8, K_geo,
+                       int(_hbm_budget() // 2 // (2 * NC * CW)) - 1))
         pending: dict = {}
+        n_hit = 0
         while row >= 0 and j >= 0:
             n_sync += 1
             c = row // NC
@@ -1460,6 +1471,7 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
             lo = max(c - K + 1, 0)
             cells = [(cc, w) for cc in range(c, lo - 1, -1)]
             words = [pending.pop(cell, None) for cell in cells]
+            n_hit += sum(wd is not None for wd in words)
             pending.clear()   # drop stale speculative planes
             words = [wd if wd is not None else remat_win(cc, ww)
                      for wd, (cc, ww) in zip(words, cells)]
@@ -1475,20 +1487,29 @@ def _round_chunked(g, seq: bytes, params, p, prep, n, n_real, NC, a2d):
                     words[0], preds_l[0], jnp.int32(row), jnp.int32(j),
                     jnp.int32(state), align, jnp.int32(c * NC), n, NC,
                     jnp.int32(w * CW))
-            # speculative next cell: the chunk below the fused chain
-            # (same window), or -- when the chain bottoms out -- the
-            # same chunk range one window left
-            if lo > 0:
+            # speculative next cell, rematted while the host syncs this
+            # chain: a near-diagonal walk consumes one row per column,
+            # so from (row, j) it would land at row - dj after the dj
+            # columns left in this window -- if that stays inside the
+            # chain's row span the walk exits LEFT into window w-1
+            # there; otherwise it exits BELOW the chain in the same
+            # window.  (The r4 straight-down (lo-1, w) guess almost
+            # never hit on realistic reads; the n_hit counter in the
+            # profile line keeps the prediction honest.)
+            dj = j - w * CW + 1
+            r_pred = row - dj
+            if w > 0 and (lo == 0 or r_pred >= lo * NC):
+                cell = (max(r_pred, 0) // NC, w - 1)
+                pending[cell] = remat_win(*cell)
+            elif lo > 0:
                 pending[(lo - 1, w)] = remat_win(lo - 1, w)
-            elif w > 0:
-                pending[(0, w - 1)] = remat_win(0, w - 1)
             row_d, j_d, state_d, align = pend_walk
             row, j, state = int(row_d), int(j_d), int(state_d)
         if prof:
             print("[poa_chunked] windowed backward NWIN=%d K=%d: "
-                  "%.3f s (%d syncs, %d remats)"
+                  "%.3f s (%d syncs, %d remats, %d spec hits)"
                   % (NWIN, K, _time.perf_counter() - t_bwd0, n_sync,
-                     n_remat[0]), flush=True)
+                     n_remat[0], n_hit), flush=True)
         return scores, np.asarray(align), best_row, order
 
     preds_dev = None if banded_w else jnp.asarray(preds)
