@@ -612,8 +612,11 @@ def orchestrate():
 
     env = dict(os.environ)
     done = set()
-    max_passes = 6   # probe-stalled passes are cheap (~15 s/stage), so
-                     # keep cycling while budget remains
+    max_passes = 12  # probe-stalled passes are cheap (~15 s/stage), so
+                     # keep cycling while budget remains; tunnel stalls
+                     # last minutes (r5 observed 45+ min windows), so an
+                     # all-stalled pass SLEEPS before the next one
+                     # instead of burning the budget on more probes
     # pass 1 runs cheapest-first so partials land early; later passes
     # lead with the PRIMARY metric stages -- a brief tunnel-recovery
     # window should go to the headline batch stages before anything
@@ -627,6 +630,7 @@ def orchestrate():
         if all(name in done for name, _, _ in PLAN):
             break
         order = PLAN if npass == 0 else retry_plan
+        pass_stalls = pass_attempts = 0
         for name, tos, min_left in order:
             if name in done:
                 continue
@@ -654,10 +658,16 @@ def orchestrate():
                 if r.returncode == TUNNEL_DOWN_RC:
                     # probe bailed: tunnel is stalled RIGHT NOW -- note
                     # it, keep the stage eligible for later passes
+                    pass_stalls += 1
+                    pass_attempts += 1
                     detail[name + "_error"] = ("try %d: tunnel stalled "
                                                "(probe)" % (npass + 1))
                     detail["stages_run"].append(
                         "%s#%d:probe-stall" % (name, npass + 1))
+                    if pass_stalls >= 3 and pass_stalls == pass_attempts:
+                        # tunnel is down across stages: abandon this
+                        # pass early instead of probing every stage
+                        break
                     continue
                 if r.returncode != 0:
                     # stage raised (STAGE_FAIL_RC) or crashed: often a
@@ -670,6 +680,7 @@ def orchestrate():
                         "%s#%d:%.0fs-err" % (name, npass + 1,
                                              time.time() - t0))
                     continue
+                pass_attempts += 1
                 if not out:
                     out = {name + "_error": "stage produced no result"}
                 detail.update(out)
@@ -687,6 +698,7 @@ def orchestrate():
                      % (name, npass + 1, time.time() - t0))
                 continue
             except subprocess.TimeoutExpired:
+                pass_attempts += 1
                 detail[name + "_error"] = (
                     "try %d timed out after %ds (tunnel stall or cold "
                     "compile)" % (npass + 1, to))
@@ -697,6 +709,17 @@ def orchestrate():
                 "%s#%d:%.0fs" % (name, npass + 1, time.time() - t0))
             note("stage %s try %d done in %.0fs"
                  % (name, npass + 1, time.time() - t0))
+        if (pass_attempts and pass_stalls == pass_attempts
+                and not all(n in done for n, _, _ in PLAN)):
+            # every attempt this pass was a probe-stall: the tunnel is
+            # in a stall window (minutes).  Sleep a slice of the
+            # remaining budget so later passes land in a recovery
+            # window instead of burning probes now.
+            nap = min(45.0, max(0.0, deadline - time.time() - 60))
+            if nap > 1:
+                note("tunnel down across pass %d; sleeping %.0fs"
+                     % (npass + 1, nap))
+                time.sleep(nap)
 
     emit()
     wd.cancel()
