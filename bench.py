@@ -463,6 +463,13 @@ def stage_chunk_smoke():
     out["chunk_smoke_walkdb0"] = "ok" if r0 == r1 else "MISMATCH"
     ok.append(r0 == r1)
     out["chunk_smoke_all_ok"] = all(ok)
+    if not all(ok):
+        # an _error key keeps the stage un-done (retried) and lands in
+        # the final detail: a branch regression must be LOUD, not a
+        # quiet false in a nested field (r4 VERDICT item 2)
+        out["chunk_smoke_error"] = "branch mismatch: " + ", ".join(
+            k for k, v in out.items()
+            if isinstance(v, str) and v.startswith("MISMATCH"))
     return out
 
 
