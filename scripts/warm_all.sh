@@ -9,7 +9,8 @@
 # hold the shell forever.
 cd /root/repo || exit 1
 for st in msa_compat batch8 batch32 traced msa_native packed \
-          traced_batch msa_50k batch128; do
+          traced_batch msa_50k batch128 msa_fleet msa_200k \
+          chunk_smoke int16_probe; do
   echo "=== warming stage $st ==="
   timeout 2400 python bench.py --stage "$st" 2>&1 | tail -2
   echo "=== $st rc=$? ==="
