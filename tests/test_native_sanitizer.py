@@ -105,6 +105,77 @@ def test_compat_asan_fuzz(asan_bin, tmp_path, seed, n_seq, length,
     assert got == ref.round_scores
 
 
+@pytest.fixture(scope="module")
+def seqio_asan_bin(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("asan") / "seqio_asan_driver")
+    cmd = [os.environ.get("CC", "gcc"), "-O1", "-g",
+           "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+           "-fno-omit-frame-pointer", "-Wall",
+           os.path.join(NATIVE, "seqio_fast.c"),
+           os.path.join(NATIVE, "seqio_asan_driver.c"),
+           "-o", out]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip("sanitizer toolchain unavailable: %s"
+                    % proc.stderr[:200])
+    return out
+
+
+SEQIO_CORPUS = [
+    ("fasta", b">r1 desc here\nACGTACGT\nACGT\n>r2\nTTTT\n"),
+    ("crlf", b">r1 d\r\nACGT\r\nAC\r\n>r2\r\nGG\r\n"),
+    ("fastq", b"@r1 c\nACGT\n+\nIIII\n@r2\nGG\n+x\nII\n"),
+    ("no_trailing_nl", b">a\nACGT"),
+    ("empty", b""),
+    ("blank_lines", b"\n\n>a\n\nACGT\n\n\n>b\nGG\n\n"),
+    ("name_only", b">loneliest\n>another\nAC\n"),
+    ("long_name", b">" + b"n" * 5000 + b" " + b"c" * 5000 + b"\nAC\n"),
+    ("truncated_fastq", b"@r1\nACGT\n+\nII"),
+    ("qual_longer", b"@r1\nAC\n+\nIIII\n"),
+    ("not_fasta", b"just some text\nwithout a header\n"),
+    ("huge_records", b"".join(b">r%d\n%s\n" % (i, b"ACGT" * 500)
+                              for i in range(200))),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tag,payload", SEQIO_CORPUS,
+                         ids=[t for t, _ in SEQIO_CORPUS])
+def test_seqio_asan_fuzz(seqio_asan_bin, tmp_path, tag, payload):
+    """The native FASTA/FASTQ parser under ASan+UBSan on adversarial
+    inputs (truncations, CRLF, blank lines, missing newline, headers
+    without sequences, oversized names).  Both clean parses and parse
+    errors must leave memory intact; clean parses must agree with the
+    Python reference parser on record count and total sequence bytes."""
+    f = tmp_path / (tag + ".fa")
+    f.write_bytes(payload)
+    env = dict(os.environ,
+               ASAN_OPTIONS="detect_leaks=1:abort_on_error=1",
+               UBSAN_OPTIONS="print_stacktrace=1")
+    proc = subprocess.run([seqio_asan_bin, str(f)], capture_output=True,
+                          text=True, env=env, timeout=120)
+    assert proc.returncode == 0, (
+        "sanitizer run failed (rc=%d)\nstdout:\n%s\nstderr:\n%s"
+        % (proc.returncode, proc.stdout[-1000:], proc.stderr[-4000:]))
+    if proc.stdout.startswith("records:"):
+        parts = proc.stdout.split()
+        n_records, seq_total = int(parts[1]), int(parts[5])
+        from tsta_tpu.io import seqio as pyseqio
+        old = os.environ.get("TSTA_NATIVE_SEQIO")
+        os.environ["TSTA_NATIVE_SEQIO"] = "0"   # pure-Python reference
+        try:
+            recs = list(pyseqio.read_records(str(f)))
+        except Exception:
+            return   # python parser rejects; native indexed it safely
+        finally:
+            if old is None:
+                os.environ.pop("TSTA_NATIVE_SEQIO", None)
+            else:
+                os.environ["TSTA_NATIVE_SEQIO"] = old
+        assert n_records == len(recs)
+        assert seq_total == sum(len(r.sequence) for r in recs)
+
+
 @pytest.mark.slow
 def test_compat_asan_degenerate(asan_bin, tmp_path):
     """Adversarial shapes: heavy indels (realloc-heavy graph growth,
