@@ -27,10 +27,16 @@ pytestmark = pytest.mark.skipif(
     reason="reference binaries not built (see /tmp/refbuild)")
 
 
-def _mutate(rng, s, rate=0.12):
+def _mutate(rng, s, rate=0.12, n_rate=0.0):
     s = np.frombuffer(s, np.uint8).copy()
     mask = rng.random(len(s)) < rate
     s[mask] = BASES[rng.integers(0, 4, mask.sum())]
+    if n_rate:
+        # genuine ambiguity codes: the reference's SN blend
+        # (c-t-simd.c:461,481) makes read-'N' columns score-neutral in
+        # a path-dependent way -- parity must hold for them too
+        nmask = rng.random(len(s)) < n_rate
+        s[nmask] = ord("N")
     out = list(s.tobytes())
     for _ in range(max(1, len(out) // 80)):
         pos = int(rng.integers(0, len(out)))
@@ -49,7 +55,9 @@ def test_psa_fuzz_vs_binary(tmp_path, seed):
     n = int(rng.integers(1, 5)) * 160
     m = int(rng.integers(1, 5)) * 160
     s1 = BASES[rng.integers(0, 4, n)].tobytes()
-    s2 = (_mutate(rng, s1) + BASES[rng.integers(0, 4, m)].tobytes())[:m]
+    n_rate = 0.04 if seed % 2 == 1 else 0.0   # psa.c has no N rule --
+    s2 = (_mutate(rng, s1, n_rate=n_rate)     # N is an ordinary byte
+          + BASES[rng.integers(0, 4, m)].tobytes())[:m]
     f1, f2 = tmp_path / "a.fa", tmp_path / "b.fa"
     f1.write_bytes(b">a\n" + s1 + b"\n")
     f2.write_bytes(b">b\n" + s2 + b"\n")
@@ -74,7 +82,9 @@ def test_msa_fuzz_vs_binary(tmp_path, seed):
     rng = np.random.default_rng(2000 + seed)
     k = int(rng.integers(3, 7))
     base = BASES[rng.integers(0, 4, int(rng.integers(80, 400)))].tobytes()
-    seqs = [base] + [_mutate(rng, base) for _ in range(k - 1)]
+    n_rate = 0.05 if seed % 3 == 0 else 0.0   # N-containing reads too
+    seqs = [base] + [_mutate(rng, base, n_rate=n_rate)
+                     for _ in range(k - 1)]
     fa = tmp_path / "seqs.fa"
     with open(fa, "wb") as f:
         for i, s in enumerate(seqs):

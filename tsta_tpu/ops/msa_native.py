@@ -41,6 +41,35 @@ from tsta_tpu.models.poa_graph import PoaGraph
 from tsta_tpu.ops.psa_scan import NEG, bucket
 
 
+_AMB_WARNED = False
+
+
+def _warn_ambiguity(seqs) -> None:
+    """One-time warning for ambiguity codes (any non-ACGT byte).
+
+    The reference scores read-'N' columns as score-neutral through its
+    difference normalisation (SN blend, c-t-simd.c:461,481) -- a
+    path-dependent rule the bit-exact compat engine reproduces
+    byte-for-byte (differential fuzz incl. N inputs,
+    test_fuzz_vs_reference).  The native engine's contract is the
+    clean exact recurrence, which scores N like any other mismatching
+    byte, so N-heavy reads score differently between the engines; point
+    users at engine='compat' when reference parity on such reads
+    matters."""
+    global _AMB_WARNED
+    if _AMB_WARNED:
+        return
+    acgt = frozenset(b"ACGT")
+    if any(set(bytes(s)) - acgt for s in seqs):
+        from tsta_tpu.utils.logging import get_logger
+        get_logger().warning(
+            "input contains ambiguity codes (non-ACGT): the native "
+            "engine scores them as ordinary mismatches; use "
+            "engine='compat' for the reference's score-neutral 'N' "
+            "handling")
+        _AMB_WARNED = True
+
+
 @functools.partial(jax.jit, static_argnames=("params", "N", "n", "max_in"))
 def _round_dp(bases, preds, pmask, hm1, valid, a, n_real, params, N, n,
               max_in):
@@ -441,6 +470,7 @@ def align_seqs(seqs: List[bytes], params: AlignParams = AlignParams(),
 
     if not seqs:
         raise ValueError("no sequences")
+    _warn_ambiguity(seqs)
     n_seq = len(seqs)
     digest = seqs_digest(seqs)
     g = PoaGraph.from_sequence(seqs[0], n_seq)
