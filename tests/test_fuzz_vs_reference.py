@@ -101,6 +101,34 @@ def test_msa_fuzz_vs_binary(tmp_path, seed):
 
 
 @pytest.mark.slow
+def test_msa_fuzz_vs_binary_mixed_alphabet(tmp_path):
+    """The engines are byte-equality-agnostic like the reference: a
+    mixed-case DNA + protein-letter alphabet must stay byte-identical
+    (only 'N' has a special rule, c-t-simd.c:461; lowercase 'n' does
+    NOT trigger it -- this pins that too)."""
+    rng = np.random.default_rng(2100)
+    alpha = np.frombuffer(b"ACGTacgtnKRWY", np.uint8)
+    base = alpha[rng.integers(0, len(alpha), 200)].tobytes()
+    seqs = [base]
+    for _ in range(3):
+        s = np.frombuffer(base, np.uint8).copy()
+        m = rng.random(len(s)) < 0.1
+        s[m] = alpha[rng.integers(0, len(alpha), int(m.sum()))]
+        seqs.append(s.tobytes())
+    fa = tmp_path / "seqs.fa"
+    with open(fa, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">s%d\n" % i + s + b"\n")
+    ref_out = tmp_path / "ref.txt"
+    subprocess.run([REF + "/TSTA_msa", "-i", str(fa), "-o",
+                    str(ref_out)], capture_output=True, check=True)
+    out = msa.align_file(str(fa), AlignParams())
+    my = tmp_path / "my.txt"
+    msa.write_result(out, str(my))
+    assert my.read_bytes() == ref_out.read_bytes()
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(3))
 def test_batch_kernel_fuzz_vs_binary(tmp_path, seed):
     """The packed batch kernel's scores (round-2 production path) vs the
