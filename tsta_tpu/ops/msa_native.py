@@ -599,6 +599,7 @@ def align_seqs_many(seq_sets: List[List[bytes]],
     for seqs in seq_sets:
         if not seqs:
             raise ValueError("empty read set")
+        _warn_ambiguity(seqs)
         reads = list(range(1, len(seqs))) if len(seqs) > 1 else [0]
         states.append({
             "seqs": seqs,
